@@ -1,0 +1,164 @@
+"""Typed config presets — one per BASELINE.json graded config (SURVEY.md §1).
+
+The reference's config surface is argparse flags / ini (SURVEY.md §6); here
+every run is a frozen dataclass serialized into checkpoints and metrics
+logs for reproducibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+from .features.frontend import FeatureConfig
+from .models.encoder import ModelConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    name: str
+    model: ModelConfig
+    features: FeatureConfig
+    # data
+    corpus: str = "synthetic"  # "synthetic" | path to LibriSpeech root
+    corpus_split: str = "dev-clean"
+    num_utterances: int = 512  # synthetic corpus size
+    batch_size: int = 16  # largest bucket's batch size
+    seed: int = 0
+    # optimization
+    lr: float = 3e-4
+    warmup_steps: int = 100
+    epochs: int = 10
+    grad_clip: float = 5.0
+    weight_decay: float = 0.0
+    # augmentation (config 3+)
+    specaugment: bool = False
+    freq_mask: int = 10
+    time_mask: int = 20
+    num_freq_masks: int = 1
+    num_time_masks: int = 2
+    # decoding
+    beam_width: int = 16
+    lm_order: int = 0  # 0 = no shallow fusion
+    lm_weight: float = 0.0
+    # distribution
+    model_axis: int = 1  # >1 shards the encoder over the 'model' mesh axis
+    # io
+    ckpt_every: int = 200
+    log_every: int = 10
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), default=str, indent=2)
+
+
+def _feat_mfcc():
+    return FeatureConfig(feature_type="mfcc", n_mels=26, n_mfcc=13)
+
+
+def _feat_logmel():
+    return FeatureConfig(feature_type="logmel", n_mels=80)
+
+
+PRESETS: dict[str, TrainConfig] = {}
+
+
+def _register(cfg: TrainConfig) -> TrainConfig:
+    PRESETS[cfg.name] = cfg
+    return cfg
+
+
+# Config 1 — tiny 2-layer BiLSTM-CTC (256), MFCC, greedy, CPU-runnable.
+CONFIG1 = _register(
+    TrainConfig(
+        name="tiny",
+        model=ModelConfig(encoder_type="bilstm", num_layers=2, hidden=256),
+        features=_feat_mfcc(),
+        num_utterances=256,
+        batch_size=16,
+        epochs=30,
+        lr=1e-3,
+        beam_width=1,
+    )
+)
+
+# Config 2 — 4-layer BiLSTM-CTC (512), log-mel-80, beam width 16.
+CONFIG2 = _register(
+    TrainConfig(
+        name="base",
+        model=ModelConfig(encoder_type="bilstm", num_layers=4, hidden=512),
+        features=_feat_logmel(),
+        num_utterances=2048,
+        batch_size=32,
+        epochs=20,
+        beam_width=16,
+    )
+)
+
+# Config 3 — Conv2d subsample + 5-layer BiLSTM, SpecAugment, bucketing.
+CONFIG3 = _register(
+    TrainConfig(
+        name="conv",
+        model=ModelConfig(
+            encoder_type="bilstm",
+            num_layers=5,
+            hidden=512,
+            conv_subsample=True,
+            conv_out_dim=512,
+        ),
+        features=_feat_logmel(),
+        num_utterances=4096,
+        batch_size=32,
+        epochs=20,
+        specaugment=True,
+        beam_width=16,
+    )
+)
+
+# Config 4 — 6-layer BiLSTM + n-gram LM shallow fusion, multi-host DP.
+CONFIG4 = _register(
+    TrainConfig(
+        name="fusion",
+        model=ModelConfig(
+            encoder_type="bilstm",
+            num_layers=6,
+            hidden=512,
+            conv_subsample=True,
+            conv_out_dim=512,
+        ),
+        features=_feat_logmel(),
+        num_utterances=8192,
+        batch_size=32,
+        epochs=20,
+        specaugment=True,
+        beam_width=16,
+        lm_order=3,
+        lm_weight=0.5,
+    )
+)
+
+# Config 5 — Conformer-CTC 12 blocks ~30M params, Pallas attention,
+# sharded encoder.
+CONFIG5 = _register(
+    TrainConfig(
+        name="conformer",
+        model=ModelConfig(
+            encoder_type="conformer",
+            num_layers=12,
+            hidden=384,
+            num_heads=6,
+            ff_mult=4,
+            conv_kernel=15,
+            conv_subsample=True,
+            conv_out_dim=384,
+            use_pallas_attention=True,
+        ),
+        features=_feat_logmel(),
+        num_utterances=8192,
+        batch_size=32,
+        epochs=20,
+        specaugment=True,
+        beam_width=16,
+        model_axis=1,  # raised on pods whose encoder exceeds one chip's HBM
+    )
+)

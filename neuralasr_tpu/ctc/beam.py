@@ -1,0 +1,185 @@
+"""Vectorized CTC prefix beam search, fully on-device.
+
+TPU-first redesign of the reference's C++ `ctc_beam_search.h` (SURVEY.md §3
+item 2, §4.5): instead of a per-prefix hash map grown dynamically, the beam
+state is fixed-shape tensors scanned over time —
+
+  prefixes [W, Lmax] int32   p_b [W]   p_nb [W]   lens [W]   hash [W, 2]
+
+Per frame: W "stay" candidates (emit blank / repeat last char) and W*V
+"extend" candidates are scored on the VPU; duplicate prefixes (an extension
+of beam i equal to existing beam j) are merged via a pair of incremental
+32-bit polynomial rolling hashes (collision probability ~2^-64 per pair);
+`lax.top_k` over the W*(V+1) candidates selects the next beam.  Optional
+shallow fusion adds `lm_logp(prefix_context) -> [V]` scores to extensions
+(config 4, neuralasr_tpu/ctc/lm_fusion.py).
+
+Batched with vmap; frames past `input_lens` carry state through unchanged.
+Host oracle for triage: neuralasr_tpu/reference/beam_oracle.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+_P1 = jnp.uint32(1000003)
+_P2 = jnp.uint32(2654435761)
+
+
+def _lse(a, b):
+    m = jnp.maximum(a, b)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+
+
+def _masked_lse_reduce(x, mask, axis):
+    """logsumexp of x where mask else -inf, along axis. Safe at all-dead."""
+    x = jnp.where(mask, x, NEG_INF)
+    m = jnp.max(x, axis=axis, keepdims=True)
+    s = jnp.sum(jnp.exp(x - m) * mask, axis=axis)
+    return jnp.squeeze(m, axis) + jnp.log(jnp.maximum(s, 1e-38))
+
+
+def _beam_step(state, inputs, *, W, V, Lmax, blank_id, lm_fn, lm_weight):
+    prefixes, lens, p_b, p_nb, hashes, active = state
+    lp = inputs  # [V] frame log-probs
+
+    total = _lse(p_b, p_nb)  # [W]
+    last = jnp.take_along_axis(
+        prefixes, jnp.maximum(lens - 1, 0)[:, None], axis=1
+    )[:, 0]  # [W]
+    has_len = lens > 0
+
+    # ---- stay candidates (prefix unchanged) ----
+    stay_pb = total + lp[blank_id]
+    stay_pnb = jnp.where(has_len, p_nb + lp[last], NEG_INF)
+
+    # ---- extend candidates (prefix + c), [W, V] ----
+    lm_add = lm_weight * lm_fn(prefixes, lens) if lm_fn is not None else 0.0
+    is_last = jnp.arange(V)[None, :] == last[:, None]  # [W, V]
+    base = jnp.where(is_last & has_len[:, None], p_b[:, None], total[:, None])
+    ext_pnb = base + lp[None, :] + lm_add  # [W, V]
+    ext_pnb = ext_pnb.at[:, blank_id].set(NEG_INF)
+    # Extensions past Lmax are dropped (cap; utterances here never hit it).
+    ext_pnb = jnp.where(lens[:, None] >= Lmax, NEG_INF, ext_pnb)
+
+    c_ids = jnp.arange(V, dtype=jnp.uint32)[None, :]
+    ext_h1 = hashes[:, 0:1] * _P1 + (c_ids + 1)  # [W, V]
+    ext_h2 = hashes[:, 1:2] * _P2 + (c_ids + 1)
+
+    # ---- merge extensions that equal an existing beam's prefix ----
+    # match[w, c, w2] — ext (w, c) equals beam w2's prefix.
+    match = (
+        (ext_h1[:, :, None] == hashes[None, None, :, 0])
+        & (ext_h2[:, :, None] == hashes[None, None, :, 1])
+        & (ext_pnb[:, :, None] > NEG_INF / 2)
+    )  # [W, V, W]
+    # Fold matched extension mass into the matching stay candidate's p_nb.
+    merged_in = _masked_lse_reduce(
+        jnp.broadcast_to(ext_pnb[:, :, None], match.shape).reshape(-1, W),
+        match.reshape(-1, W),
+        axis=0,
+    )  # [W]
+    stay_pnb = _lse(stay_pnb, merged_in)
+    # Kill merged extension candidates.
+    ext_pnb = jnp.where(match.any(axis=2), NEG_INF, ext_pnb)
+
+    # ---- top-k over W stay + W*V extend candidates ----
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((W * V,), NEG_INF)])
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
+    cand_total = _lse(cand_pb, cand_pnb)
+    scores, top = jax.lax.top_k(cand_total, W)  # [W]
+
+    is_stay = top < W
+    src = jnp.where(is_stay, top, (top - W) // V)  # source beam index
+    c_new = jnp.where(is_stay, 0, (top - W) % V).astype(jnp.int32)
+
+    new_prefixes = prefixes[src]  # [W, Lmax]
+    new_lens = lens[src] + jnp.where(is_stay, 0, 1)
+    pos = jnp.clip(lens[src], 0, Lmax - 1)
+    updated = new_prefixes.at[jnp.arange(W), pos].set(c_new)
+    new_prefixes = jnp.where(is_stay[:, None], new_prefixes, updated)
+    new_h1 = jnp.where(
+        is_stay,
+        hashes[src, 0],
+        hashes[src, 0] * _P1 + (c_new.astype(jnp.uint32) + 1),
+    )
+    new_h2 = jnp.where(
+        is_stay,
+        hashes[src, 1],
+        hashes[src, 1] * _P2 + (c_new.astype(jnp.uint32) + 1),
+    )
+    new_hashes = jnp.stack([new_h1, new_h2], axis=1)
+    new_pb = cand_pb[top]
+    new_pnb = cand_pnb[top]
+
+    # ---- length masking: carry state through for padded frames ----
+    def keep_old(_):
+        return state
+
+    def take_new(_):
+        return (new_prefixes, new_lens, new_pb, new_pnb, new_hashes, active)
+
+    new_state = jax.lax.cond(active, take_new, keep_old, None)
+    return new_state, None
+
+
+@partial(
+    jax.jit,
+    static_argnames=("beam_width", "blank_id", "max_label_len", "lm_fn"),
+)
+def beam_search_decode(
+    logits: jnp.ndarray,  # [B, T, V]
+    input_lens: jnp.ndarray,  # [B]
+    beam_width: int = 16,
+    blank_id: int = 0,
+    max_label_len: int = 256,
+    lm_fn: Optional[Callable] = None,  # (prefixes [W,L], lens [W]) -> [W,V]
+    lm_weight: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched prefix beam search.
+
+    Returns (prefixes [B, W, Lmax], lens [B, W], scores [B, W]), beams
+    sorted best-first per row.
+    """
+    B, T, V = logits.shape
+    W, Lmax = beam_width, max_label_len
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+
+    def decode_one(lp, n):
+        prefixes = jnp.zeros((W, Lmax), dtype=jnp.int32)
+        lens = jnp.zeros((W,), dtype=jnp.int32)
+        p_b = jnp.full((W,), NEG_INF).at[0].set(0.0)
+        p_nb = jnp.full((W,), NEG_INF)
+        # Dead beams get distinct sentinel hashes so they never merge.
+        sent = (jnp.arange(W, dtype=jnp.uint32) + 1) * jnp.uint32(0x9E3779B9)
+        h = jnp.stack([sent, sent], axis=1).at[0].set(jnp.uint32(0))
+
+        def step(state, xs):
+            lp_t, t = xs
+            s = (*state[:5], t < n)
+            out, _ = _beam_step(
+                s,
+                lp_t,
+                W=W,
+                V=V,
+                Lmax=Lmax,
+                blank_id=blank_id,
+                lm_fn=lm_fn,
+                lm_weight=lm_weight,
+            )
+            return out[:5], None
+
+        init = (prefixes, lens, p_b, p_nb, h)
+        (prefixes, lens, p_b, p_nb, h), _ = jax.lax.scan(
+            step, init, (lp, jnp.arange(T))
+        )
+        scores = _lse(p_b, p_nb)
+        order = jnp.argsort(-scores)
+        return prefixes[order], lens[order], scores[order]
+
+    return jax.vmap(decode_one)(log_probs, input_lens)

@@ -1,0 +1,75 @@
+"""LibriSpeech-layout corpus reader (host-side I/O).
+
+Walks the standard layout the reference trains on (SURVEY.md §4.1):
+
+    root/<split>/<speaker>/<chapter>/<spk>-<chp>-<utt>.{wav,flac}
+    root/<split>/<speaker>/<chapter>/<spk>-<chp>.trans.txt
+
+Audio decode: .wav via scipy (libsndfile-free); .flac requires the
+`soundfile` package, absent in this environment — detected lazily and
+reported, never silently skipped.  Presents the same corpus protocol as
+SyntheticCorpus (len / transcript(i) / waveform(i) / [i] / num_samples(i)),
+so BucketedLoader is corpus-agnostic.  Lengths are cached on first pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class LibriSpeechCorpus:
+    def __init__(self, root: str, split: str = "dev-clean"):
+        self.root = os.path.join(root, split)
+        if not os.path.isdir(self.root):
+            raise FileNotFoundError(f"no such corpus split: {self.root}")
+        self._utts: list[tuple[str, str]] = []  # (audio_path, transcript)
+        for dirpath, _, files in sorted(os.walk(self.root)):
+            trans = {}
+            for f in sorted(files):
+                if f.endswith(".trans.txt"):
+                    with open(os.path.join(dirpath, f)) as fh:
+                        for line in fh:
+                            key, _, text = line.strip().partition(" ")
+                            trans[key] = text
+            for f in sorted(files):
+                stem, ext = os.path.splitext(f)
+                if ext in (".wav", ".flac") and stem in trans:
+                    self._utts.append(
+                        (os.path.join(dirpath, f), trans[stem])
+                    )
+        self._len_cache: dict[int, int] = {}
+
+    def __len__(self) -> int:
+        return len(self._utts)
+
+    def transcript(self, index: int) -> str:
+        return self._utts[index][1]
+
+    def waveform(self, index: int) -> np.ndarray:
+        path = self._utts[index][0]
+        if path.endswith(".wav"):
+            from scipy.io import wavfile
+
+            _, data = wavfile.read(path)
+            if data.dtype == np.int16:
+                return data.astype(np.float32)
+            return data.astype(np.float32) * 32768.0
+        try:
+            import soundfile  # not installed in this environment
+        except ImportError as e:
+            raise RuntimeError(
+                f"{path}: flac decode needs the 'soundfile' package "
+                "(unavailable here); convert to wav or install it"
+            ) from e
+        data, _ = soundfile.read(path, dtype="float32")
+        return data * 32768.0
+
+    def __getitem__(self, index: int):
+        return self.waveform(index), self.transcript(index)
+
+    def num_samples(self, index: int) -> int:
+        if index not in self._len_cache:
+            self._len_cache[index] = len(self.waveform(index))
+        return self._len_cache[index]

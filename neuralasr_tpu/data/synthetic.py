@@ -1,0 +1,104 @@
+"""Deterministic synthetic speech-like corpus.
+
+Stands in for LibriSpeech (no network / no audio data in this environment —
+SURVEY.md §0): each character is rendered as a characteristic two-formant
+tone burst (deterministic char -> formant map) with small seeded jitter, so
+transcripts ARE recoverable from the audio and models trained on this
+corpus exhibit real WER behavior (overfit -> 0; generalization is
+non-trivial).  Fully deterministic in (seed, index): suitable for
+multi-host loaders and resume-exact data iterators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..text import normalize
+
+_WORDS = (
+    "the a and of to in it you that he was for on are with as his they be "
+    "at one have this from or had by hot word but what some we can out "
+    "other were all there when up use your how said an each she which do "
+    "their time if will way about many then them write would like so these "
+    "her long make thing see him two has look more day could go come did "
+    "number sound no most people my over know water than call first who may "
+    "down side been now find"
+).split()
+
+SAMPLE_RATE = 16000
+
+
+class SyntheticCorpus:
+    """Indexable corpus of (waveform float32 [N], transcript str)."""
+
+    def __init__(
+        self,
+        num_utterances: int,
+        seed: int = 0,
+        min_words: int = 2,
+        max_words: int = 8,
+        sample_rate: int = SAMPLE_RATE,
+        char_dur_ms: float = 80.0,
+        space_dur_ms: float = 50.0,
+        noise_level: float = 0.05,
+    ):
+        self.num_utterances = num_utterances
+        self.seed = seed
+        self.min_words = min_words
+        self.max_words = max_words
+        self.sample_rate = sample_rate
+        self.char_dur = int(char_dur_ms * sample_rate / 1000)
+        self.space_dur = int(space_dur_ms * sample_rate / 1000)
+        self.noise_level = noise_level
+        # Deterministic char -> (f1, f2) formant map, spread over 200-3500 Hz.
+        rng = np.random.default_rng(12345)
+        chars = " 'abcdefghijklmnopqrstuvwxyz"
+        self._formants = {}
+        for i, c in enumerate(chars):
+            f1 = 200.0 + 110.0 * i + rng.uniform(0, 30)
+            f2 = 900.0 + 93.0 * ((i * 7) % len(chars)) + rng.uniform(0, 30)
+            self._formants[c] = (f1, f2)
+
+    def __len__(self) -> int:
+        return self.num_utterances
+
+    def transcript(self, index: int) -> str:
+        rng = np.random.default_rng((self.seed, index, 1))
+        n = int(rng.integers(self.min_words, self.max_words + 1))
+        return normalize(" ".join(rng.choice(_WORDS, size=n)))
+
+    def waveform(self, index: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, index, 2))
+        text = self.transcript(index)
+        sr = self.sample_rate
+        pieces = []
+        for ch in text:
+            if ch == " ":
+                dur = self.space_dur + int(rng.integers(-200, 200))
+                pieces.append(
+                    rng.normal(size=max(dur, 100)).astype(np.float32)
+                    * self.noise_level
+                    * 0.3
+                )
+                continue
+            f1, f2 = self._formants[ch]
+            dur = self.char_dur + int(rng.integers(-400, 400))
+            t = np.arange(dur) / sr
+            jitter = rng.uniform(0.98, 1.02)
+            env = np.hanning(dur)
+            sig = env * (
+                0.6 * np.sin(2 * np.pi * f1 * jitter * t)
+                + 0.4 * np.sin(2 * np.pi * f2 * jitter * t + rng.uniform(0, 6.28))
+            )
+            pieces.append(sig.astype(np.float32))
+        wav = np.concatenate(pieces) if pieces else np.zeros(1600, np.float32)
+        wav = wav + rng.normal(size=len(wav)).astype(np.float32) * self.noise_level
+        return (wav * 8000.0).astype(np.float32)
+
+    def __getitem__(self, index: int) -> tuple[np.ndarray, str]:
+        return self.waveform(index), self.transcript(index)
+
+    def num_samples(self, index: int) -> int:
+        """Waveform length without synthesizing audio (for bucketing we do
+        synthesize — generation is cheap — but keep the API explicit)."""
+        return len(self.waveform(index))

@@ -1,0 +1,111 @@
+"""Jitted feature frontend: waveform [B, N] -> features [B, T, F] + lengths.
+
+Pipeline (constants pinned by reference/mfcc_oracle.py):
+  pre-emphasis 0.97 -> frame 400/hop 160 (gather) -> Hamming window ->
+  power spectrum via DFT-by-matmul (|frames @ C|^2 + |frames @ S|^2)/n_fft
+  -> mel filterbank matmul -> log -> (MFCC: DCT matmul) -> optional
+  per-utterance CMVN over true length.
+
+All matmuls run on the MXU in one jit'd program; padded tail frames are
+computed-and-ignored (masked by feat_lens downstream) — static shapes, no
+data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..reference import mfcc_oracle as oracle
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    feature_type: str = "mfcc"  # "mfcc" | "logmel"
+    sample_rate: int = 16000
+    frame_len: int = 400
+    hop: int = 160
+    n_fft: int = 512
+    n_mels: int = 26  # 26 for MFCC path, 80 for logmel path
+    n_mfcc: int = 13
+    preemph: float = 0.97
+    cmvn: bool = True
+
+    @property
+    def dim(self) -> int:
+        return self.n_mfcc if self.feature_type == "mfcc" else self.n_mels
+
+
+def num_frames(num_samples, frame_len: int = 400, hop: int = 160):
+    """Frames fully inside the signal (matches oracle.num_frames); works on
+    ints and arrays."""
+    n = (num_samples - frame_len) // hop + 1
+    return np.maximum(n, 0) if isinstance(n, np.ndarray) else jnp.maximum(n, 0)
+
+
+def _dft_matrices(frame_len: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT basis restricted to the first frame_len rows (zero-padding to
+    n_fft contributes nothing, so the matmul skips it entirely)."""
+    n = np.arange(frame_len)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang), -np.sin(ang)  # [frame_len, n_fft//2+1] each
+
+
+def make_frontend(cfg: FeatureConfig, max_frames: int):
+    """Builds a jittable frontend for fixed max_frames (bucketed shapes).
+
+    Returns fn(wav [B, N] float32, wav_lens [B] int32) ->
+      (feats [B, max_frames, cfg.dim] float32, feat_lens [B] int32).
+    N must be >= frame_len + hop*(max_frames-1).
+    """
+    window = np.hamming(cfg.frame_len)
+    C, S = _dft_matrices(cfg.frame_len, cfg.n_fft)
+    # Fold the window into the DFT matrices: (f*w) @ C == f @ (w[:,None]*C).
+    wC = jnp.asarray(window[:, None] * C, dtype=jnp.float32)
+    wS = jnp.asarray(window[:, None] * S, dtype=jnp.float32)
+    fb = jnp.asarray(
+        oracle.mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate),
+        dtype=jnp.float32,
+    )
+    dct = jnp.asarray(
+        oracle.dct_matrix(cfg.n_mfcc, cfg.n_mels), dtype=jnp.float32
+    )
+    frame_idx = jnp.asarray(
+        np.arange(cfg.frame_len)[None, :]
+        + cfg.hop * np.arange(max_frames)[:, None]
+    )  # [max_frames, frame_len]
+
+    @jax.jit
+    def frontend(wav: jnp.ndarray, wav_lens: jnp.ndarray):
+        B, N = wav.shape
+        # Pre-emphasis: y[0] = x[0], y[t] = x[t] - a*x[t-1].
+        shifted = jnp.concatenate([wav[:, :1] * 0, wav[:, :-1]], axis=1)
+        y = wav - cfg.preemph * shifted
+        y = y.at[:, 0].set(wav[:, 0])
+
+        frames = y[:, frame_idx]  # [B, T, frame_len] gather
+        re = frames @ wC  # [B, T, n_fft//2+1] (MXU)
+        im = frames @ wS
+        pspec = (re * re + im * im) / cfg.n_fft
+        logmel = jnp.log(jnp.maximum(pspec @ fb, oracle.LOG_FLOOR))
+        feats = logmel @ dct if cfg.feature_type == "mfcc" else logmel
+
+        feat_lens = num_frames(wav_lens, cfg.frame_len, cfg.hop).astype(
+            jnp.int32
+        )
+        if cfg.cmvn:
+            t_idx = jnp.arange(max_frames)[None, :, None]
+            mask = (t_idx < feat_lens[:, None, None]).astype(feats.dtype)
+            cnt = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+            mean = (feats * mask).sum(axis=1, keepdims=True) / cnt
+            var = ((feats - mean) ** 2 * mask).sum(axis=1, keepdims=True) / cnt
+            feats = (feats - mean) * jax.lax.rsqrt(var + 1e-8)
+            feats = feats * mask
+        return feats, feat_lens
+
+    return frontend

@@ -1,0 +1,92 @@
+"""CTCModel: front-end + encoder + vocab projection -> logits.
+
+Assembles the full acoustic model (SURVEY.md §2 L4 equivalent): optional
+Conv2d subsampling, a BiLSTM or Conformer encoder, and the final Dense to
+V=29 logits.  Returns batch-major logits [B, T, V] + logit lengths — the
+per-frame log-posterior oracle surface of BASELINE.json is
+log_softmax(these logits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..text import VOCAB_SIZE
+from .bilstm import BiLSTMEncoder
+from .conv_subsample import Conv2dSubsample, subsampled_len
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    encoder_type: str = "bilstm"  # "bilstm" | "conformer"
+    num_layers: int = 2
+    hidden: int = 256
+    vocab_size: int = VOCAB_SIZE
+    conv_subsample: bool = False
+    conv_channels: int = 32
+    conv_out_dim: int = 256
+    # Conformer-only knobs:
+    num_heads: int = 4
+    ff_mult: int = 4
+    conv_kernel: int = 15
+    dropout: float = 0.0
+    use_pallas_attention: bool = False
+    dtype: Any = jnp.float32
+
+    def output_lens(self, feat_lens):
+        return subsampled_len(feat_lens) if self.conv_subsample else feat_lens
+
+
+class CTCModel(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,  # [B, T, F]
+        feat_lens: jnp.ndarray,  # [B]
+        train: bool = False,
+    ):
+        cfg = self.cfg
+        h, lens = feats, feat_lens
+        if cfg.conv_subsample:
+            h, lens = Conv2dSubsample(
+                channels=cfg.conv_channels,
+                out_dim=cfg.conv_out_dim,
+                dtype=cfg.dtype,
+                name="subsample",
+            )(h, lens)
+        if cfg.encoder_type == "bilstm":
+            h = BiLSTMEncoder(
+                num_layers=cfg.num_layers,
+                hidden=cfg.hidden,
+                dtype=cfg.dtype,
+                name="encoder",
+            )(h, lens)
+        elif cfg.encoder_type == "conformer":
+            from .conformer import ConformerEncoder
+
+            h = ConformerEncoder(
+                num_layers=cfg.num_layers,
+                dim=cfg.hidden,
+                num_heads=cfg.num_heads,
+                ff_mult=cfg.ff_mult,
+                conv_kernel=cfg.conv_kernel,
+                dropout=cfg.dropout,
+                use_pallas_attention=cfg.use_pallas_attention,
+                dtype=cfg.dtype,
+                name="encoder",
+            )(h, lens, train=train)
+        else:
+            raise ValueError(f"unknown encoder_type {cfg.encoder_type!r}")
+
+        logits = nn.Dense(
+            cfg.vocab_size,
+            dtype=jnp.float32,  # logits in f32 for a stable CTC loss
+            name="output",
+        )(h.astype(jnp.float32))
+        return logits, lens

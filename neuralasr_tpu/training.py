@@ -1,0 +1,245 @@
+"""Training driver: jit'd train step per bucket, GSPMD distribution,
+checkpoint/resume, JSONL metrics (SURVEY.md §2 L5 equivalent).
+
+One XLA program per bucket shape (recompile guard: tests/test_recompile.py);
+each program fuses frontend -> (SpecAugment) -> encoder -> CTC loss -> Adam
+update on device.  Distribution is pure GSPMD: batch rows shard over the
+'data' mesh axis, params follow their flax logical annotations
+(parallel/mesh.py); the gradient psum is inserted by XLA, not by us.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .augment import specaugment
+from .configs import TrainConfig
+from .ctc.loss import ctc_loss
+from .data import BucketedLoader, SyntheticCorpus, Batch
+from .data.buckets import default_buckets
+from .features import make_frontend, num_frames
+from .models.encoder import CTCModel
+from .parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    shard_params_by_rules,
+)
+from .text import decode as ids_to_text
+from .ctc.greedy import greedy_decode
+from .utils.metrics import wer
+
+
+def make_corpus(cfg: TrainConfig, eval_split: bool = False):
+    if cfg.corpus == "synthetic":
+        n = max(cfg.num_utterances // 8, 16) if eval_split else cfg.num_utterances
+        # Disjoint seeds => disjoint utterances for train/eval.
+        return SyntheticCorpus(n, seed=cfg.seed + (1000 if eval_split else 0))
+    from .data.librispeech import LibriSpeechCorpus
+
+    split = "test-clean" if eval_split else cfg.corpus_split
+    return LibriSpeechCorpus(cfg.corpus, split)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.lr,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=max(cfg.warmup_steps * 20, 2000),
+        end_value=cfg.lr * 0.1,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(sched, weight_decay=cfg.weight_decay),
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        mesh=None,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(model_axis=cfg.model_axis)
+        self.model = CTCModel(cfg.model)
+        self.corpus = make_corpus(cfg)
+        self.buckets = default_buckets(cfg.batch_size)
+        self.loader = BucketedLoader(
+            self.corpus,
+            self.buckets,
+            seed=cfg.seed,
+            process_index=process_index,
+            process_count=process_count,
+        )
+        self.optimizer = make_optimizer(cfg)
+        self._step_fns: dict[int, callable] = {}
+        self._frontends: dict[int, callable] = {}
+
+        # Init params on a representative (smallest-bucket) shape.
+        b0 = self.buckets[0]
+        Tmax = int(num_frames(b0.max_samples))
+        feats_shape = (1, Tmax, cfg.features.dim)
+        rng = jax.random.PRNGKey(cfg.seed)
+        params = self.model.init(
+            rng,
+            jnp.zeros(feats_shape, jnp.float32),
+            jnp.asarray([Tmax], jnp.int32),
+        )["params"]
+        self.param_shardings = shard_params_by_rules(self.mesh, params)
+        params = jax.device_put(params, self.param_shardings)
+        opt_state = self.optimizer.init(params)
+        self.state = {"params": params, "opt_state": opt_state}
+        self.step = 0
+        self.data_sharding = data_sharding(self.mesh)
+
+    # ---------------- per-bucket compiled steps ----------------
+
+    def _frontend_for(self, bucket: int):
+        if bucket not in self._frontends:
+            spec = self.buckets[bucket]
+            self._frontends[bucket] = make_frontend(
+                self.cfg.features, int(num_frames(spec.max_samples))
+            )
+        return self._frontends[bucket]
+
+    def _loss_fn(self, params, feats, feat_lens, labels, label_lens, weights):
+        logits, out_lens = self.model.apply(
+            {"params": params}, feats, feat_lens, train=True
+        )
+        per = ctc_loss(logits, labels, out_lens, label_lens)
+        # Infeasible rows (out_len < label_len after subsampling) and
+        # tail-padding duplicates carry zero weight.
+        feasible = (out_lens >= label_lens).astype(jnp.float32)
+        w = weights * feasible
+        per = jnp.where(per > 1e29, 0.0, per)
+        loss = (per * w).sum() / jnp.maximum(w.sum(), 1.0)
+        return loss, (per, w)
+
+    def _make_step(self, bucket: int):
+        frontend = self._frontend_for(bucket)
+        cfg = self.cfg
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, rng, wav, wav_lens, labels, label_lens, weights):
+            feats, feat_lens = frontend(wav, wav_lens)
+            if cfg.specaugment:
+                feats = specaugment(
+                    rng,
+                    feats,
+                    feat_lens,
+                    freq_mask=cfg.freq_mask,
+                    time_mask=cfg.time_mask,
+                    num_freq_masks=cfg.num_freq_masks,
+                    num_time_masks=cfg.num_time_masks,
+                )
+            (loss, _aux), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(state["params"], feats, feat_lens, labels, label_lens, weights)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = self.optimizer.update(
+                grads, state["opt_state"], state["params"]
+            )
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "opt_state": opt_state}, loss, gnorm
+
+        return train_step
+
+    def _step_for(self, bucket: int):
+        if bucket not in self._step_fns:
+            self._step_fns[bucket] = self._make_step(bucket)
+        return self._step_fns[bucket]
+
+    def put_batch(self, batch: Batch):
+        """Host arrays -> device arrays sharded over the 'data' axis."""
+        put = lambda x: jax.device_put(x, self.data_sharding)
+        sc = lambda x: jax.device_put(x, self.data_sharding)
+        return (
+            put(batch.wav),
+            sc(batch.wav_lens),
+            sc(batch.labels),
+            sc(batch.label_lens),
+            sc(batch.weights),
+        )
+
+    def train_batch(self, batch: Batch) -> dict:
+        step_fn = self._step_for(batch.bucket)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 17), self.step)
+        args = self.put_batch(batch)
+        self.state, loss, gnorm = step_fn(self.state, rng, *args)
+        self.step += 1
+        return {
+            "loss": float(loss),
+            "grad_norm": float(gnorm),
+            "audio_s": float(batch.wav_lens.sum()) / self.cfg.features.sample_rate,
+        }
+
+    # ---------------- evaluation ----------------
+
+    def greedy_wer(self, corpus, max_utts: int = 128) -> float:
+        """Greedy-decode WER on the first max_utts of a corpus."""
+        refs, hyps = [], []
+        eval_loader = BucketedLoader(
+            _Slice(corpus, min(len(corpus), max_utts)),
+            self.buckets,
+            seed=0,
+        )
+        decode_fns: dict[int, callable] = {}
+        for batch in eval_loader.epoch(0):
+            if batch.bucket not in decode_fns:
+                frontend = self._frontend_for(batch.bucket)
+
+                @jax.jit
+                def decode_fn(params, wav, wav_lens, _fe=frontend):
+                    feats, feat_lens = _fe(wav, wav_lens)
+                    logits, out_lens = self.model.apply(
+                        {"params": params}, feats, feat_lens, train=False
+                    )
+                    return greedy_decode(logits, out_lens)
+
+                decode_fns[batch.bucket] = decode_fn
+            ids, lens = decode_fns[batch.bucket](
+                self.state["params"],
+                jax.device_put(batch.wav, self.data_sharding),
+                jax.device_put(batch.wav_lens, self.data_sharding),
+            )
+            ids, lens = np.asarray(ids), np.asarray(lens)
+            for r in range(ids.shape[0]):
+                if batch.weights[r] == 0:
+                    continue
+                hyps.append(ids_to_text(ids[r, : lens[r]]))
+                refs.append(
+                    ids_to_text(batch.labels[r, : batch.label_lens[r]])
+                )
+        return wer(refs, hyps)
+
+
+class _Slice:
+    """First-n view of a corpus (corpus protocol passthrough)."""
+
+    def __init__(self, corpus, n: int):
+        self.corpus, self.n = corpus, n
+
+    def __len__(self):
+        return self.n
+
+    def transcript(self, i):
+        return self.corpus.transcript(i)
+
+    def waveform(self, i):
+        return self.corpus.waveform(i)
+
+    def __getitem__(self, i):
+        return self.corpus[i]
+
+    def num_samples(self, i):
+        return self.corpus.num_samples(i)

@@ -1,0 +1,129 @@
+"""Decoder parity: greedy and beam search vs the host-python oracles and
+(for beam) tf.nn.ctc_beam_search_decoder."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from neuralasr_tpu.ctc.greedy import greedy_decode
+from neuralasr_tpu.ctc.beam import beam_search_decode
+from neuralasr_tpu.reference import ctc_oracle, beam_oracle
+
+
+def test_greedy_matches_oracle():
+    rng = np.random.default_rng(0)
+    B, T, V = 5, 30, 9
+    logits = rng.normal(size=(B, T, V)).astype(np.float32) * 3
+    lens = np.array([30, 17, 1, 30, 8], dtype=np.int32)
+    ids, out_lens = greedy_decode(jnp.asarray(logits), jnp.asarray(lens))
+    ids, out_lens = np.asarray(ids), np.asarray(out_lens)
+    for b in range(B):
+        want = ctc_oracle.greedy_decode_single(logits[b], lens[b])
+        got = list(ids[b, : out_lens[b]])
+        assert got == want, (b, got, want)
+
+
+def _check_beam_case(logits, T, W=8, lm_fn=None, lm_weight=0.0,
+                     lm_score=None, k=4):
+    got_p, got_l, got_s = beam_search_decode(
+        jnp.asarray(logits[None]), jnp.asarray([T]), beam_width=W,
+        max_label_len=T + 1, lm_fn=lm_fn, lm_weight=lm_weight,
+    )
+    got_p, got_l, got_s = (np.asarray(x)[0] for x in (got_p, got_l, got_s))
+    want = beam_oracle.beam_search_single(
+        logits, T, beam_width=W, prune_logp=-1e9,
+        lm_score=lm_score, lm_weight=lm_weight,
+    )
+    # Compare the top beam exactly and its score closely.
+    want_ids, want_score = want[0]
+    got_ids = list(got_p[0, : got_l[0]])
+    assert got_ids == want_ids, (got_ids, want_ids)
+    np.testing.assert_allclose(got_s[0], want_score, rtol=1e-4, atol=1e-4)
+    # Top-k beam scores should match the oracle's. Exact score ties make
+    # WHICH tied prefix survives pruning arbitrary (and mass then diverges),
+    # so tie-heavy cases pass k=1.
+    want_scores = np.array([s for _, s in want])
+    k = min(len(want_scores), W, k)
+    np.testing.assert_allclose(got_s[:k], want_scores[:k], rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_beam_matches_oracle_random():
+    rng = np.random.default_rng(1)
+    for seed in range(4):
+        T, V = 12, 6
+        logits = (rng.normal(size=(T, V)) * 2).astype(np.float32)
+        _check_beam_case(logits, T)
+
+
+def test_beam_peaked_logits():
+    # Near-deterministic logits: beam must equal greedy path collapse.
+    rng = np.random.default_rng(2)
+    T, V = 15, 7
+    path = rng.integers(0, V, size=T)
+    logits = np.full((T, V), -8.0, dtype=np.float32)
+    logits[np.arange(T), path] = 8.0
+    _check_beam_case(logits, T, k=1)  # flat off-peak mass => exact ties
+    want = ctc_oracle.greedy_decode_single(logits, T)
+    got_p, got_l, _ = beam_search_decode(
+        jnp.asarray(logits[None]), jnp.asarray([T]), beam_width=4,
+        max_label_len=T + 1,
+    )
+    assert list(np.asarray(got_p)[0, 0, : int(got_l[0, 0])]) == want
+
+
+def test_beam_matches_tf():
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(3)
+    T, V, W = 10, 5, 8
+    logits = (rng.normal(size=(T, V)) * 2).astype(np.float32)
+
+    got_p, got_l, got_s = beam_search_decode(
+        jnp.asarray(logits[None]), jnp.asarray([T]), beam_width=W,
+        max_label_len=T + 1,
+    )
+    got_ids = list(np.asarray(got_p)[0, 0, : int(got_l[0, 0])])
+
+    # TF: blank = last class; rotate classes (ours v -> tf v-1).
+    tf_logits = np.concatenate([logits[:, 1:], logits[:, :1]], axis=-1)
+    decoded, logp = tf.nn.ctc_beam_search_decoder(
+        tf.constant(tf_logits[:, None, :]), tf.constant([T]),
+        beam_width=W, top_paths=1,
+    )
+    tf_ids = [int(v) + 1 for v in decoded[0].values.numpy()]
+    assert got_ids == tf_ids
+
+
+def test_beam_respects_input_lens():
+    rng = np.random.default_rng(4)
+    T, V = 20, 6
+    logits = (rng.normal(size=(T, V)) * 2).astype(np.float32)
+    # Poison the tail; decode with len 12 must ignore it.
+    poisoned = logits.copy()
+    poisoned[12:] = 9.0
+    a = beam_search_decode(jnp.asarray(logits[None, :12]),
+                           jnp.asarray([12]), beam_width=4,
+                           max_label_len=16)
+    b = beam_search_decode(jnp.asarray(poisoned[None]), jnp.asarray([12]),
+                           beam_width=4, max_label_len=16)
+    np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]), rtol=1e-5)
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_beam_lm_fusion_matches_oracle():
+    from neuralasr_tpu.ctc.lm_fusion import NGramLM
+    from neuralasr_tpu.text import VOCAB_SIZE
+
+    lm = NGramLM.train(["abba cab", "bac abba", "cabbage abs"], order=2)
+    lm_fn = lm.score_fn()
+    table = np.asarray(lm.table, dtype=np.float64)
+
+    def lm_score(prefix, c):
+        ctx = prefix[-1] if prefix else 0
+        return table[ctx, c]
+
+    rng = np.random.default_rng(5)
+    T, V = 10, VOCAB_SIZE
+    logits = (rng.normal(size=(T, V)) * 2).astype(np.float32)
+    _check_beam_case(logits, T, W=8, lm_fn=lm_fn, lm_weight=0.5,
+                     lm_score=lm_score)

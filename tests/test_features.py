@@ -1,0 +1,94 @@
+"""Feature-pipeline parity vs the numpy oracle (SURVEY.md §5.1)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from neuralasr_tpu.features import FeatureConfig, make_frontend, num_frames
+from neuralasr_tpu.reference import mfcc_oracle as oracle
+
+
+def _wav(rng, n):
+    # Speech-ish: sum of chirps + noise, int16-scaled like real PCM.
+    t = np.arange(n) / 16000.0
+    x = (
+        0.5 * np.sin(2 * np.pi * (200 + 80 * t) * t)
+        + 0.3 * np.sin(2 * np.pi * 700 * t)
+        + 0.1 * rng.normal(size=n)
+    )
+    return (x * 8000).astype(np.float32)
+
+
+def test_num_frames_matches_oracle():
+    for n in [0, 399, 400, 401, 559, 560, 16000]:
+        assert int(num_frames(n)) == oracle.num_frames(n)
+
+
+def test_mfcc_matches_oracle():
+    rng = np.random.default_rng(0)
+    n = 16000
+    wav = _wav(rng, n)
+    cfg = FeatureConfig(feature_type="mfcc", cmvn=False)
+    T = oracle.num_frames(n)
+    fe = make_frontend(cfg, max_frames=T)
+    feats, lens = fe(jnp.asarray(wav[None]), jnp.asarray([n]))
+    want = oracle.mfcc(wav, n_mfcc=cfg.n_mfcc, n_mels=cfg.n_mels)
+    assert int(lens[0]) == T
+    np.testing.assert_allclose(
+        np.asarray(feats)[0], want, rtol=2e-3, atol=2e-3
+    )
+
+
+def test_logmel_matches_oracle():
+    rng = np.random.default_rng(1)
+    n = 8000
+    wav = _wav(rng, n)
+    cfg = FeatureConfig(feature_type="logmel", n_mels=80, cmvn=False)
+    T = oracle.num_frames(n)
+    fe = make_frontend(cfg, max_frames=T)
+    feats, _ = fe(jnp.asarray(wav[None]), jnp.asarray([n]))
+    want = oracle.log_mel(wav, n_mels=80)
+    np.testing.assert_allclose(
+        np.asarray(feats)[0], want, rtol=2e-3, atol=2e-3
+    )
+
+
+def test_batched_lengths_and_padding():
+    rng = np.random.default_rng(2)
+    n1, n2 = 6000, 4000
+    w1, w2 = _wav(rng, n1), _wav(rng, n2)
+    N = 8000
+    batch = np.zeros((2, N), dtype=np.float32)
+    batch[0, :n1] = w1
+    batch[1, :n2] = w2
+    batch[1, n2:] = 12345.0  # poison padding
+    cfg = FeatureConfig(feature_type="mfcc", cmvn=False)
+    Tmax = oracle.num_frames(N)
+    fe = make_frontend(cfg, max_frames=Tmax)
+    feats, lens = fe(jnp.asarray(batch), jnp.asarray([n1, n2]))
+    t2 = oracle.num_frames(n2)
+    assert int(lens[0]) == oracle.num_frames(n1)
+    assert int(lens[1]) == t2
+    want2 = oracle.mfcc(w2, n_mfcc=cfg.n_mfcc, n_mels=cfg.n_mels)
+    np.testing.assert_allclose(
+        np.asarray(feats)[1, :t2], want2, rtol=2e-3, atol=2e-3
+    )
+
+
+def test_cmvn_masked():
+    rng = np.random.default_rng(3)
+    n = 5000
+    wav = _wav(rng, n)
+    N = 9000
+    padded = np.zeros((1, N), dtype=np.float32)
+    padded[0, :n] = wav
+    cfg = FeatureConfig(feature_type="mfcc", cmvn=True)
+    Tmax = oracle.num_frames(N)
+    fe = make_frontend(cfg, max_frames=Tmax)
+    feats, lens = fe(jnp.asarray(padded), jnp.asarray([n]))
+    t = int(lens[0])
+    valid = np.asarray(feats)[0, :t]
+    # CMVN over true length: mean ~0, var ~1 per coefficient.
+    np.testing.assert_allclose(valid.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(valid.var(axis=0), 1.0, atol=1e-2)
+    # Padded frames zeroed.
+    np.testing.assert_allclose(np.asarray(feats)[0, t:], 0.0, atol=1e-6)
