@@ -1,0 +1,124 @@
+"""Benchmark: audio-seconds/s per chip (BASELINE.json primary metric).
+
+Runs the flagship Conformer-CTC training step and greedy-decode step on the
+default backend (the real TPU chip under axon; CPU if forced), measures
+steady-state step time, and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline: the reference publishes no benchmark numbers
+(BASELINE.json "published": {}), so the standing baseline is this repo's
+first recorded value (BASELINE.md); until one exists vs_baseline is 1.0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_AUDIO_S_PER_S = None  # set once round-1 numbers are recorded
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from neuralasr_tpu.configs import CONFIG5
+    from neuralasr_tpu.training import Trainer
+    from neuralasr_tpu.data.buckets import BucketSpec
+
+    # Flagship model; bf16-friendly bucket: 8 s audio, batch 16.
+    cfg = dataclasses.replace(
+        CONFIG5,
+        num_utterances=64,
+        batch_size=16,
+        specaugment=True,
+        model=dataclasses.replace(
+            CONFIG5.model,
+            use_pallas_attention=jax.default_backend() == "tpu",
+        ),
+    )
+    trainer = Trainer(cfg)
+    sr = cfg.features.sample_rate
+
+    # Fixed synthetic batch in the 8 s bucket (index by max_samples).
+    bucket = next(
+        i for i, b in enumerate(trainer.buckets) if b.max_samples >= 8 * sr
+    )
+    spec = trainer.buckets[bucket]
+    rng = np.random.default_rng(0)
+    B = spec.batch_size
+    wav = rng.normal(size=(B, spec.max_samples)).astype(np.float32) * 1000
+    wav_lens = np.full((B,), spec.max_samples, np.int32)
+    labels = rng.integers(1, 29, size=(B, spec.max_label_len)).astype(np.int32)
+    label_lens = np.full((B,), spec.max_label_len, np.int32)
+    weights = np.ones((B,), np.float32)
+
+    from neuralasr_tpu.data.loader import Batch
+
+    batch = Batch(wav, wav_lens, labels, label_lens, weights, bucket, 0, 0)
+
+    # Warmup (compile) + steady-state timing.
+    trainer.train_batch(batch)
+    jax.block_until_ready(trainer.state["params"])
+    t0 = time.time()
+    iters = 10
+    for _ in range(iters):
+        trainer.train_batch(batch)
+    jax.block_until_ready(trainer.state["params"])
+    dt = (time.time() - t0) / iters
+
+    audio_s = float(wav_lens.sum()) / sr
+    train_tp = audio_s / dt
+
+    # Decode throughput (greedy, jit'd fwd+decode).
+    from neuralasr_tpu.ctc.greedy import greedy_decode
+
+    frontend = trainer._frontend_for(bucket)
+
+    @jax.jit
+    def decode_step(params, wav, wav_lens):
+        feats, feat_lens = frontend(wav, wav_lens)
+        logits, out_lens = trainer.model.apply(
+            {"params": params}, feats, feat_lens, train=False
+        )
+        return greedy_decode(logits, out_lens)
+
+    wj, wl = jnp.asarray(wav), jnp.asarray(wav_lens)
+    jax.block_until_ready(decode_step(trainer.state["params"], wj, wl))
+    t0 = time.time()
+    for _ in range(iters):
+        out = decode_step(trainer.state["params"], wj, wl)
+    jax.block_until_ready(out)
+    decode_tp = audio_s / ((time.time() - t0) / iters)
+
+    # Primary metric: train+decode combined (harmonic-ish: report train; the
+    # decode number rides along in the same line for the record).
+    value = round(train_tp, 2)
+    vs = 1.0 if BASELINE_AUDIO_S_PER_S is None else round(
+        value / BASELINE_AUDIO_S_PER_S, 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "train_audio_s_per_s_per_chip",
+                "value": value,
+                "unit": "audio_s/s",
+                "vs_baseline": vs,
+                "decode_audio_s_per_s_per_chip": round(decode_tp, 2),
+                "backend": jax.default_backend(),
+                "model": "conformer12x384",
+                "batch": B,
+                "bucket_audio_s": audio_s / B,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Conformer encoder (config 5; spec-mandated growth beyond the reference —
+SURVEY.md §1).
+
+TPU-first choices:
+- RoPE positional encoding (no learned rel-pos tables; pure elementwise on
+  the VPU, fuses into the attention matmuls).
+- LayerNorm in the conv module instead of BatchNorm (no cross-batch stats to
+  sync across the mesh; standard for TPU conformers).
+- Attention runs either as plain XLA dot-product attention (CPU/tests) or as
+  the Pallas fused blockwise kernel (ops/pallas_attention.py) — the
+  "blockwise over time within one chip" long-context answer of SURVEY.md §6.
+- Weight matrices carry flax logical axes ('embed' -> 'ff'/'heads') so the
+  encoder shards over the 'model' mesh axis when it exceeds one chip's HBM
+  (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+def _dense(feat, name, axes=("embed", "ff"), dtype=jnp.float32):
+    return nn.Dense(
+        feat,
+        dtype=dtype,
+        name=name,
+        kernel_init=nn.with_logical_partitioning(
+            nn.initializers.glorot_uniform(), axes
+        ),
+    )
+
+
+def rope(x: jnp.ndarray, base: float = 10000.0) -> jnp.ndarray:
+    """Rotary position embedding over the last dim of [B, T, H, D]."""
+    B, T, H, D = x.shape
+    half = D // 2
+    freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = jnp.arange(T, dtype=jnp.float32)[:, None] * freqs[None, :]  # [T, half]
+    cos = jnp.cos(ang)[None, :, None, :]
+    sin = jnp.sin(ang)[None, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = _dense(self.dim * self.mult, "in", ("embed", "ff"), self.dtype)(h)
+        h = nn.swish(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = _dense(self.dim, "out", ("ff", "embed"), self.dtype)(h)
+        return nn.Dropout(self.dropout, deterministic=not train)(h)
+
+
+class MHSA(nn.Module):
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_b_t, train: bool):
+        B, T, _ = x.shape
+        H = self.num_heads
+        Dh = self.dim // H
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        qkv = _dense(3 * self.dim, "qkv", ("embed", "heads"), self.dtype)(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = rope(q.reshape(B, T, H, Dh))
+        k = rope(k.reshape(B, T, H, Dh))
+        v = v.reshape(B, T, H, Dh)
+
+        if self.use_pallas:
+            from ..ops.pallas_attention import flash_attention
+
+            out = flash_attention(q, k, v, mask_b_t)
+        else:
+            scale = 1.0 / jnp.sqrt(Dh).astype(q.dtype)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            neg = jnp.asarray(-1e30, dtype=logits.dtype)
+            logits = jnp.where(mask_b_t[:, None, None, :], logits, neg)
+            attn = jax.nn.softmax(logits, axis=-1)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+        out = out.reshape(B, T, self.dim)
+        return _dense(self.dim, "proj", ("heads", "embed"), self.dtype)(out)
+
+
+class ConvModule(nn.Module):
+    dim: int
+    kernel: int = 15
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_b_t, train: bool):
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = _dense(2 * self.dim, "pw_in", ("embed", "ff"), self.dtype)(h)
+        h = nn.glu(h, axis=-1)
+        # Zero padded frames so the depthwise conv never mixes padding in.
+        h = h * mask_b_t[:, :, None].astype(h.dtype)
+        h = nn.Conv(
+            self.dim,
+            kernel_size=(self.kernel,),
+            feature_group_count=self.dim,
+            padding="SAME",
+            dtype=self.dtype,
+            name="dw",
+        )(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        h = nn.swish(h)
+        h = _dense(self.dim, "pw_out", ("ff", "embed"), self.dtype)(h)
+        return nn.Dropout(self.dropout, deterministic=not train)(h)
+
+
+class ConformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    ff_mult: int = 4
+    conv_kernel: int = 15
+    dropout: float = 0.0
+    use_pallas_attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_b_t, train: bool):
+        x = x + 0.5 * FeedForward(
+            self.dim, self.ff_mult, self.dropout, self.dtype, name="ff1"
+        )(x, train)
+        x = x + MHSA(
+            self.dim,
+            self.num_heads,
+            self.dropout,
+            self.use_pallas_attention,
+            self.dtype,
+            name="mhsa",
+        )(x, mask_b_t, train)
+        x = x + ConvModule(
+            self.dim, self.conv_kernel, self.dropout, self.dtype, name="conv"
+        )(x, mask_b_t, train)
+        x = x + 0.5 * FeedForward(
+            self.dim, self.ff_mult, self.dropout, self.dtype, name="ff2"
+        )(x, train)
+        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+
+
+class ConformerEncoder(nn.Module):
+    num_layers: int
+    dim: int
+    num_heads: int
+    ff_mult: int = 4
+    conv_kernel: int = 15
+    dropout: float = 0.0
+    use_pallas_attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lens, train: bool = False):
+        B, T, F = x.shape
+        mask_b_t = jnp.arange(T)[None, :] < lens[:, None]  # [B, T]
+        if F != self.dim:
+            x = _dense(self.dim, "in_proj", ("hidden", "embed"), self.dtype)(x)
+        for i in range(self.num_layers):
+            x = ConformerBlock(
+                self.dim,
+                self.num_heads,
+                self.ff_mult,
+                self.conv_kernel,
+                self.dropout,
+                self.use_pallas_attention,
+                self.dtype,
+                name=f"block_{i}",
+            )(x, mask_b_t, train)
+        return x * mask_b_t[:, :, None].astype(x.dtype)

@@ -1,0 +1,146 @@
+"""Fused self-attention Pallas kernel for ASR-length sequences.
+
+Design (see /opt/skills/guides/pallas_guide.md): grid over
+(batch, heads, query-blocks); each program holds its full K/V stripe in VMEM
+(ASR T <= ~3k frames after 4x subsampling, so K/V stripes are <1 MB — no
+streaming needed), computes S = QK^T on the MXU, masks padded keys from the
+per-row length, softmaxes in VMEM, and hits the MXU again for PV.  This is
+the "Pallas attention blockwise over time within one chip" of SURVEY.md §6.
+
+Backward: custom_vjp that recomputes through the jnp reference (flash-style
+rematerialization — no O(T^2) residuals stored).
+
+Off-TPU the kernel runs in interpret mode, keeping tests CPU-runnable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attention_ref(q, k, v, lens):
+    """jnp reference: q,k,v [B,T,H,D], lens [B] -> [B,T,H,D]."""
+    B, T, H, D = q.shape
+    scale = 1.0 / (D**0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    mask = jnp.arange(T)[None, :] < lens[:, None]  # [B, T]
+    logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+
+def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_q: int, T: int):
+    # len_ref: scalar-prefetch [B*H] in SMEM; q_ref [1, BQ, D];
+    # k_ref/v_ref [1, T, D].  (Heads are folded into the grid's batch dim so
+    # the trailing block dims are (time, head_dim) — the TPU-tileable
+    # layout; per-row lengths ride in as prefetched scalars.)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    D = q.shape[-1]
+    scale = 1.0 / (D**0.5)
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [BQ, T]
+    n = len_ref[pl.program_id(0)]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / denom
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _forward(q, k, v, lens, block_q: int = 128, interpret: bool | None = None):
+    B, T, H, D = q.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bq = min(block_q, T)
+    # Fold heads into the grid's batch dim: [B,T,H,D] -> [B*H,T,D] so every
+    # block's trailing dims are (time, head_dim) — TPU tiling wants the last
+    # two dims (divisible by 8, 128) or equal to the array dims.
+    qf = q.transpose(0, 2, 1, 3).reshape(B * H, T, D)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * H, T, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * H, T, D)
+    lens_bh = jnp.repeat(lens.astype(jnp.int32), H)  # [B*H] scalar-prefetch
+    grid = (B * H, pl.cdiv(T, bq))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, D), lambda bh, qi, lens: (bh, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, T, D), lambda bh, qi, lens: (bh, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, T, D), lambda bh, qi, lens: (bh, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, D), lambda bh, qi, lens: (bh, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    of = pl.pallas_call(
+        functools.partial(_kernel, block_q=bq, T=T),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * T * T * D,
+            bytes_accessed=4 * (3 * B * T * H * D + B * T * H * D),
+            transcendentals=B * H * T * T,
+        ),
+    )(lens_bh, qf, kf, vf)
+    return of.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+
+
+@jax.custom_vjp
+def flash_attention(q, k, v, mask_or_lens):
+    """q,k,v [B,T,H,D]; mask_or_lens: either lens [B] int or mask [B,T] bool."""
+    lens = _as_lens(mask_or_lens)
+    return _forward(q, k, v, lens)
+
+
+def _as_lens(mask_or_lens):
+    if mask_or_lens.ndim == 2:  # [B, T] bool mask -> lengths (contiguous)
+        return mask_or_lens.astype(jnp.int32).sum(axis=1)
+    return mask_or_lens.astype(jnp.int32)
+
+
+def _fwd(q, k, v, mask_or_lens):
+    lens = _as_lens(mask_or_lens)
+    return _forward(q, k, v, lens), (q, k, v, lens)
+
+
+def _bwd(res, g):
+    q, k, v, lens = res
+    # Rematerialized backward through the jnp reference (same math).
+    _, vjp = jax.vjp(lambda q, k, v: _attention_ref(q, k, v, lens), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -97,7 +97,27 @@ class Trainer:
         )["params"]
         self.param_shardings = shard_params_by_rules(self.mesh, params)
         params = jax.device_put(params, self.param_shardings)
+        # Eager init lets mu/nu inherit the params' NamedShardings
+        # (zeros_like on committed arrays); scalars (adam count) come out as
+        # uncommitted single-device arrays.  Re-home those to a replicated
+        # NamedSharding on the mesh and COMMIT every leaf — uncommitted
+        # leaves flip their commit bit after step 1, changing the executable
+        # cache key and silently compiling every bucket program twice
+        # (tests/test_recompile.py); single-device scalars break multi-device
+        # meshes outright.
         opt_state = self.optimizer.init(params)
+        repl = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()
+        )
+        opt_state = jax.tree.map(
+            lambda x: jax.device_put(
+                x,
+                x.sharding
+                if isinstance(x.sharding, jax.sharding.NamedSharding)
+                else repl,
+            ),
+            opt_state,
+        )
         self.state = {"params": params, "opt_state": opt_state}
         self.step = 0
         self.data_sharding = data_sharding(self.mesh)
@@ -128,8 +148,19 @@ class Trainer:
     def _make_step(self, bucket: int):
         frontend = self._frontend_for(bucket)
         cfg = self.cfg
+        # Pin output shardings to the live state's: without this the first
+        # call (device_put inputs) and later calls (jit outputs) disagree on
+        # sharding and every bucket compiles twice (tests/test_recompile.py).
+        state_sh = jax.tree.map(lambda x: x.sharding, self.state)
+        scalar_sh = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()
+        )
 
-        @partial(jax.jit, donate_argnums=(0,))
+        @partial(
+            jax.jit,
+            donate_argnums=(0,),
+            out_shardings=(state_sh, scalar_sh, scalar_sh),
+        )
         def train_step(state, rng, wav, wav_lens, labels, label_lens, weights):
             feats, feat_lens = frontend(wav, wav_lens)
             if cfg.specaugment:

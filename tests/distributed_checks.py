@@ -1,0 +1,116 @@
+"""Distributed assertions run in a subprocess with 8 fake CPU devices
+(tests/test_distributed.py spawns this; SURVEY.md §5.3).
+
+Checks:
+1. DP (8-device mesh) train step loss == single-device loss.
+2. TP (model_axis=2) forward == unsharded forward.
+3. Loader: global batch composition independent of process_count.
+4. dryrun_multichip(8) runs (the driver's contract).
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neuralasr_tpu.configs import CONFIG1
+from neuralasr_tpu.training import Trainer
+from neuralasr_tpu.parallel.mesh import make_mesh
+from neuralasr_tpu.data import SyntheticCorpus, BucketedLoader
+from neuralasr_tpu.data.buckets import default_buckets
+
+
+def check_dp_matches_single():
+    cfg = dataclasses.replace(
+        CONFIG1,
+        num_utterances=16,
+        batch_size=8,
+        model=dataclasses.replace(CONFIG1.model, num_layers=1, hidden=64),
+    )
+    devs = jax.devices("cpu")
+    tr1 = Trainer(cfg, mesh=make_mesh(1, devices=devs[:1]))
+    tr8 = Trainer(cfg, mesh=make_mesh(8, devices=devs))
+    batch = next(iter(tr1.loader.epoch(0)))
+    m1 = tr1.train_batch(batch)
+    m8 = tr8.train_batch(batch)
+    np.testing.assert_allclose(m1["loss"], m8["loss"], rtol=1e-4)
+    np.testing.assert_allclose(m1["grad_norm"], m8["grad_norm"], rtol=1e-3)
+    # Second step: params must have updated identically.
+    m1b = tr1.train_batch(batch)
+    m8b = tr8.train_batch(batch)
+    np.testing.assert_allclose(m1b["loss"], m8b["loss"], rtol=1e-4)
+    print("ok dp_matches_single")
+
+
+def check_tp_matches_unsharded():
+    cfg = dataclasses.replace(
+        CONFIG1,
+        num_utterances=16,
+        batch_size=8,
+        model_axis=2,
+        model=dataclasses.replace(
+            CONFIG1.model,
+            encoder_type="conformer",
+            num_layers=2,
+            hidden=64,
+            num_heads=4,
+        ),
+    )
+    devs = jax.devices("cpu")
+    tr_tp = Trainer(cfg, mesh=make_mesh(8, model_axis=2, devices=devs))
+    cfg1 = dataclasses.replace(cfg, model_axis=1)
+    tr_1 = Trainer(cfg1, mesh=make_mesh(1, devices=devs[:1]))
+    batch = next(iter(tr_1.loader.epoch(0)))
+    m_tp = tr_tp.train_batch(batch)
+    m_1 = tr_1.train_batch(batch)
+    np.testing.assert_allclose(m_1["loss"], m_tp["loss"], rtol=1e-4)
+    print("ok tp_matches_unsharded")
+
+
+def check_loader_host_invariance():
+    corpus = SyntheticCorpus(24, seed=3)
+    buckets = default_buckets(8)
+    single = BucketedLoader(corpus, buckets, seed=7)
+    p0 = BucketedLoader(corpus, buckets, seed=7, process_index=0, process_count=2)
+    p1 = BucketedLoader(corpus, buckets, seed=7, process_index=1, process_count=2)
+    assert single.plan(0) == p0.plan(0) == p1.plan(0)
+    b_all = next(iter(single.epoch(0)))
+    b0 = next(iter(p0.epoch(0)))
+    b1 = next(iter(p1.epoch(0)))
+    bs = b_all.wav.shape[0]
+    half = bs // 2
+    np.testing.assert_array_equal(b_all.wav[:half], b0.wav[:half])
+    np.testing.assert_array_equal(b_all.wav[half:], b1.wav[half:])
+    np.testing.assert_array_equal(b_all.labels[:half], b0.labels[:half])
+    np.testing.assert_array_equal(b_all.labels[half:], b1.labels[half:])
+    print("ok loader_host_invariance")
+
+
+def check_dryrun():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+    print("ok dryrun_multichip")
+
+
+if __name__ == "__main__":
+    check_loader_host_invariance()
+    check_dp_matches_single()
+    check_tp_matches_unsharded()
+    check_dryrun()
+    print("ALL-DISTRIBUTED-OK")

@@ -1,0 +1,70 @@
+"""Config-1 integration tests (SURVEY.md §5.2): tiny model overfits a toy
+set; loader determinism; checkpoint resume."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from neuralasr_tpu.configs import CONFIG1
+from neuralasr_tpu.training import Trainer
+from neuralasr_tpu.data import SyntheticCorpus, BucketedLoader
+from neuralasr_tpu.data.buckets import default_buckets
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return dataclasses.replace(
+        CONFIG1,
+        num_utterances=16,
+        batch_size=8,
+        warmup_steps=5,
+        lr=3e-3,
+        model=dataclasses.replace(CONFIG1.model, num_layers=1, hidden=96),
+    )
+
+
+def test_overfit_toy_batch(tiny_cfg):
+    tr = Trainer(tiny_cfg)
+    batch = next(iter(tr.loader.epoch(0)))
+    first = tr.train_batch(batch)["loss"]
+    last = None
+    for _ in range(59):
+        last = tr.train_batch(batch)["loss"]
+    assert last < 0.25 * first, (first, last)
+
+
+def test_loader_deterministic_and_seeded():
+    corpus = SyntheticCorpus(24, seed=3)
+    buckets = default_buckets(4)
+    a = BucketedLoader(corpus, buckets, seed=7)
+    b = BucketedLoader(corpus, buckets, seed=7)
+    plan_a, plan_b = a.plan(2), b.plan(2)
+    assert plan_a == plan_b
+    assert a.plan(1) != a.plan(2)  # epochs reshuffle
+    ba = next(iter(a.epoch(0)))
+    bb = next(iter(b.epoch(0)))
+    np.testing.assert_array_equal(ba.wav, bb.wav)
+    np.testing.assert_array_equal(ba.labels, bb.labels)
+
+
+def test_resume_mid_epoch_matches():
+    corpus = SyntheticCorpus(24, seed=3)
+    buckets = default_buckets(4)
+    loader = BucketedLoader(corpus, buckets, seed=7)
+    full = list(loader.epoch(0))
+    resumed = list(loader.epoch(0, start_batch=2))
+    assert len(resumed) == len(full) - 2
+    np.testing.assert_array_equal(resumed[0].wav, full[2].wav)
+    assert resumed[0].index == full[2].index
+
+
+def test_synthetic_corpus_deterministic():
+    c1 = SyntheticCorpus(8, seed=5)
+    c2 = SyntheticCorpus(8, seed=5)
+    for i in (0, 3, 7):
+        assert c1.transcript(i) == c2.transcript(i)
+        np.testing.assert_array_equal(c1.waveform(i), c2.waveform(i))
+    c3 = SyntheticCorpus(8, seed=6)
+    assert any(c1.transcript(i) != c3.transcript(i) for i in range(8))

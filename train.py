@@ -1,0 +1,134 @@
+"""CLI training entry point (SURVEY.md §2 L6 equivalent).
+
+    python train.py --config tiny --workdir runs/tiny [--epochs N] [--resume]
+
+Multi-host: launch one process per host with JAX_PROCESS_COUNT/... env (or
+let jax.distributed.initialize pick up the TPU pod env); data loading and
+checkpointing are process-aware.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="tiny", help="preset name (configs.py)")
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--num-utterances", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--corpus", default=None, help="'synthetic' or LibriSpeech root")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--cpu", action="store_true", help="force XLA:CPU")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host pods)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="greedy-WER eval every N epochs (0 = only at end)")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from neuralasr_tpu.configs import PRESETS
+    from neuralasr_tpu.training import Trainer, make_corpus
+    from neuralasr_tpu.utils.checkpoint import Checkpointer, abstract_like
+    from neuralasr_tpu.utils.logging import MetricsLogger
+
+    cfg = PRESETS[args.config]
+    overrides = {
+        k: v
+        for k, v in {
+            "epochs": args.epochs,
+            "num_utterances": args.num_utterances,
+            "batch_size": args.batch_size,
+            "lr": args.lr,
+            "seed": args.seed,
+            "corpus": args.corpus,
+        }.items()
+        if v is not None
+    }
+    cfg = dataclasses.replace(cfg, **overrides)
+
+    workdir = args.workdir or f"runs/{cfg.name}"
+    os.makedirs(workdir, exist_ok=True)
+    proc_idx = jax.process_index()
+    proc_cnt = jax.process_count()
+    logger = MetricsLogger(
+        os.path.join(workdir, f"metrics.{proc_idx}.jsonl"),
+        mirror_every=cfg.log_every,
+    )
+    print(f"[train] config={cfg.name} devices={jax.device_count()} "
+          f"process {proc_idx}/{proc_cnt}", flush=True)
+
+    trainer = Trainer(cfg, process_index=proc_idx, process_count=proc_cnt)
+    ckpt = Checkpointer(os.path.join(workdir, "ckpt"))
+
+    start_epoch, start_batch = 0, 0
+    if args.resume:
+        state, meta = ckpt.restore(abstract_like(trainer.state))
+        if state is not None:
+            trainer.state = state
+            trainer.step = int(meta["step"])
+            start_epoch = int(meta["epoch"])
+            start_batch = int(meta["batch_index"]) + 1
+            print(f"[train] resumed at step {trainer.step} "
+                  f"(epoch {start_epoch}, batch {start_batch})", flush=True)
+
+    eval_corpus = make_corpus(cfg, eval_split=True)
+    t_start = time.time()
+    for epoch in range(start_epoch, cfg.epochs):
+        for batch in trainer.loader.epoch(epoch, start_batch):
+            t0 = time.time()
+            m = trainer.train_batch(batch)
+            dt = time.time() - t0
+            logger.log(
+                step=trainer.step,
+                epoch=epoch,
+                bucket=batch.bucket,
+                loss=m["loss"],
+                grad_norm=m["grad_norm"],
+                audio_s=m["audio_s"],
+                audio_s_per_s=m["audio_s"] / max(dt, 1e-9),
+            )
+            if trainer.step % cfg.ckpt_every == 0:
+                ckpt.save(
+                    trainer.step,
+                    trainer.state,
+                    {"step": trainer.step, "epoch": epoch,
+                     "batch_index": batch.index, "config": cfg.to_json()},
+                )
+        start_batch = 0
+        if args.eval_every and (epoch + 1) % args.eval_every == 0:
+            w = trainer.greedy_wer(eval_corpus)
+            logger.log(step=trainer.step, epoch=epoch, eval_greedy_wer=w)
+
+    w = trainer.greedy_wer(eval_corpus)
+    logger.log(step=trainer.step, eval_greedy_wer=w, final=True,
+               total_wall_s=time.time() - t_start)
+    ckpt.save(
+        trainer.step,
+        trainer.state,
+        {"step": trainer.step, "epoch": cfg.epochs - 1,
+         "batch_index": 0, "config": cfg.to_json()},
+    )
+    ckpt.close()
+    print(f"[train] done: step={trainer.step} eval_greedy_wer={w:.4f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
