@@ -21,7 +21,10 @@ import time
 import numpy as np
 
 
-BASELINE_AUDIO_S_PER_S = None  # set once round-1 numbers are recorded
+# First recorded value (round 1, conformer12x384, batch 4, f32, 1x v5e):
+# 276.64 audio_s/s train / 6828.95 decode. vs_baseline is measured against
+# this standing number.
+BASELINE_AUDIO_S_PER_S = 276.64
 
 
 def main() -> None:

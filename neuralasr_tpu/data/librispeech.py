@@ -50,6 +50,14 @@ class LibriSpeechCorpus:
     def waveform(self, index: int) -> np.ndarray:
         path = self._utts[index][0]
         if path.endswith(".wav"):
+            try:  # native C++ PCM16 parser (threaded-metrics sibling)
+                from ..native import wav_decode
+
+                with open(path, "rb") as fh:
+                    samples, _rate = wav_decode(fh.read())
+                return samples
+            except (ImportError, ValueError):
+                pass
             from scipy.io import wavfile
 
             _, data = wavfile.read(path)

@@ -34,6 +34,7 @@ class FeatureConfig:
     n_mfcc: int = 13
     preemph: float = 0.97
     cmvn: bool = True
+    use_pallas: bool = False  # fused VMEM kernel (ops/pallas_frontend.py)
 
     @property
     def dim(self) -> int:
@@ -89,11 +90,25 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
         y = y.at[:, 0].set(wav[:, 0])
 
         frames = y[:, frame_idx]  # [B, T, frame_len] gather
-        re = frames @ wC  # [B, T, n_fft//2+1] (MXU)
-        im = frames @ wS
-        pspec = (re * re + im * im) / cfg.n_fft
-        logmel = jnp.log(jnp.maximum(pspec @ fb, oracle.LOG_FLOOR))
-        feats = logmel @ dct if cfg.feature_type == "mfcc" else logmel
+        if cfg.use_pallas:
+            from ..ops.pallas_frontend import fused_frontend
+
+            wdft = jnp.concatenate([wC, wS], axis=1)  # [frame_len, 2*(nfft/2+1)]
+            post = (
+                dct
+                if cfg.feature_type == "mfcc"
+                else jnp.eye(cfg.n_mels, dtype=jnp.float32)
+            )
+            flat = frames.reshape(B * max_frames, cfg.frame_len)
+            feats = fused_frontend(
+                flat, wdft, fb, post, cfg.n_fft, oracle.LOG_FLOOR
+            ).reshape(B, max_frames, -1)
+        else:
+            re = frames @ wC  # [B, T, n_fft//2+1] (MXU)
+            im = frames @ wS
+            pspec = (re * re + im * im) / cfg.n_fft
+            logmel = jnp.log(jnp.maximum(pspec @ fb, oracle.LOG_FLOOR))
+            feats = logmel @ dct if cfg.feature_type == "mfcc" else logmel
 
         feat_lens = num_frames(wav_lens, cfg.frame_len, cfg.hop).astype(
             jnp.int32

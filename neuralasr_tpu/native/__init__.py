@@ -1,0 +1,121 @@
+"""ctypes bindings for the native host components (native/asr_native.cpp).
+
+Loads native/libasrnative.so, building it with `make` on first use if a
+toolchain exists.  Import raises ImportError when neither is possible;
+callers (utils/metrics.py, data/librispeech.py) fall back to numpy paths —
+identical results, just slower.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO = os.path.join(_NATIVE_DIR, "libasrnative.so")
+
+
+def _load() -> ctypes.CDLL:
+    if not os.path.exists(_SO):
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+        )
+    lib = ctypes.CDLL(_SO)
+    lib.edit_distance_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.edit_distance_batch.restype = None
+    lib.wav_decode_pcm16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.wav_decode_pcm16.restype = ctypes.c_int64
+    return lib
+
+
+try:
+    _lib = _load()
+except Exception as e:  # pragma: no cover - toolchain-less environments
+    raise ImportError(f"native library unavailable: {e}") from e
+
+
+def _flatten(seqs: list[list]) -> tuple[np.ndarray, np.ndarray]:
+    """Token sequences -> (flat int32 ids, int64 offsets). Tokens of any
+    hashable type are interned to ids consistently across the call."""
+    interner: dict = {}
+    flat, off = [], [0]
+    for s in seqs:
+        for tok in s:
+            flat.append(interner.setdefault(tok, len(interner)))
+        off.append(len(flat))
+    return (
+        np.asarray(flat or [0], dtype=np.int32),
+        np.asarray(off, dtype=np.int64),
+    )
+
+
+def edit_distance_batch(refs: list[list], hyps: list[list]) -> np.ndarray:
+    """Levenshtein distances for n (ref, hyp) token-sequence pairs."""
+    assert len(refs) == len(hyps)
+    n = len(refs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    # One shared interner so equal tokens get equal ids across refs/hyps.
+    interner: dict = {}
+
+    def enc(seqs):
+        flat, off = [], [0]
+        for s in seqs:
+            for tok in s:
+                flat.append(interner.setdefault(tok, len(interner)))
+            off.append(len(flat))
+        return (
+            np.asarray(flat or [0], dtype=np.int32),
+            np.asarray(off, dtype=np.int64),
+        )
+
+    rf, ro = enc(refs)
+    hf, ho = enc(hyps)
+    out = np.zeros(n, dtype=np.int64)
+    _lib.edit_distance_batch(
+        rf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ro.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ho.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 bytes -> (float32 samples of channel 0, sample_rate)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(len(data) // 2 + 1, dtype=np.float32)
+    rate = ctypes.c_int32(0)
+    n = _lib.wav_decode_pcm16(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(out),
+        ctypes.byref(rate),
+    )
+    if n < 0:
+        raise ValueError("not a PCM16 RIFF/WAVE file")
+    return out[:n], int(rate.value)

@@ -92,3 +92,24 @@ def test_cmvn_masked():
     np.testing.assert_allclose(valid.var(axis=0), 1.0, atol=1e-2)
     # Padded frames zeroed.
     np.testing.assert_allclose(np.asarray(feats)[0, t:], 0.0, atol=1e-6)
+
+
+def test_pallas_frontend_matches_xla():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    n = 8000
+    wav = _wav(rng, n)
+    T = oracle.num_frames(n)
+    for ftype, n_mels in (("mfcc", 26), ("logmel", 80)):
+        cfg_x = FeatureConfig(feature_type=ftype, n_mels=n_mels, cmvn=False)
+        cfg_p = FeatureConfig(
+            feature_type=ftype, n_mels=n_mels, cmvn=False, use_pallas=True
+        )
+        fx = make_frontend(cfg_x, max_frames=T)
+        fp = make_frontend(cfg_p, max_frames=T)
+        a, _ = fx(jnp.asarray(wav[None]), jnp.asarray([n]))
+        b, _ = fp(jnp.asarray(wav[None]), jnp.asarray([n]))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
