@@ -28,6 +28,8 @@ BASELINE_AUDIO_S_PER_S = 276.64
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -35,15 +37,34 @@ def main() -> None:
     from neuralasr_tpu.training import Trainer
     from neuralasr_tpu.data.buckets import BucketSpec
 
-    # Flagship model; bf16-friendly bucket: 8 s audio, batch 16.
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16, help="bench batch size")
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--pallas-frontend", action="store_true", default=True)
+    p.add_argument("--no-pallas-frontend", dest="pallas_frontend",
+                   action="store_false")
+    p.add_argument("--pallas-attention", action="store_true", default=None)
+    p.add_argument("--no-pallas-attention", dest="pallas_attention",
+                   action="store_false")
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas_attn = (
+        args.pallas_attention if args.pallas_attention is not None else on_tpu
+    )
     cfg = dataclasses.replace(
         CONFIG5,
         num_utterances=64,
-        batch_size=16,
+        batch_size=args.batch * 4,  # bucket ladder halves bs twice by 9.5 s
         specaugment=True,
+        features=dataclasses.replace(
+            CONFIG5.features, use_pallas=args.pallas_frontend and on_tpu
+        ),
         model=dataclasses.replace(
             CONFIG5.model,
-            use_pallas_attention=jax.default_backend() == "tpu",
+            use_pallas_attention=use_pallas_attn,
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         ),
     )
     trainer = Trainer(cfg)
@@ -70,7 +91,7 @@ def main() -> None:
     trainer.train_batch(batch)
     jax.block_until_ready(trainer.state["params"])
     t0 = time.time()
-    iters = 10
+    iters = args.iters
     for _ in range(iters):
         trainer.train_batch(batch)
     jax.block_until_ready(trainer.state["params"])

@@ -1,0 +1,138 @@
+"""Offline corpus preparation (SURVEY.md §2 L1, §4.1).
+
+The reference walks LibriSpeech and writes per-utterance feature files; the
+TPU-native equivalent writes PACKED shards (one .npz per ~512 utterances:
+concatenated waveforms + offsets + encoded transcripts) plus a JSON
+manifest.  Packing matters on pod fronts: thousands of tiny files serialize
+badly on network filesystems; shards stream.
+
+Waveforms are stored raw (features are computed on-device, fused with the
+encoder — storing MFCCs on disk, as the reference does, would pin the
+feature configuration at prep time and double storage).
+
+CLI:  python -m neuralasr_tpu.data.prepare --corpus synthetic --out data/dev
+      python -m neuralasr_tpu.data.prepare --corpus /path/LibriSpeech \
+          --split dev-clean --out data/dev_clean
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from ..text import encode
+from .synthetic import SyntheticCorpus
+
+
+def write_shards(corpus, out_dir: str, shard_size: int = 512) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {"num_utterances": len(corpus), "shards": []}
+    for s0 in range(0, len(corpus), shard_size):
+        ids = range(s0, min(s0 + shard_size, len(corpus)))
+        wavs, texts = [], []
+        for i in ids:
+            w, t = corpus[i]
+            wavs.append(np.asarray(w, dtype=np.float32))
+            texts.append(t)
+        offsets = np.zeros(len(wavs) + 1, dtype=np.int64)
+        np.cumsum([len(w) for w in wavs], out=offsets[1:])
+        shard_name = f"shard_{s0 // shard_size:05d}.npz"
+        np.savez(
+            os.path.join(out_dir, shard_name),
+            samples=np.concatenate(wavs) if wavs else np.zeros(0, np.float32),
+            offsets=offsets,
+            transcripts=np.asarray(texts, dtype=object),
+        )
+        manifest["shards"].append(
+            {
+                "file": shard_name,
+                "first": s0,
+                "count": len(wavs),
+                "audio_samples": int(offsets[-1]),
+            }
+        )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+class PackedCorpus:
+    """Corpus-protocol reader over prepared shards (mmap-backed)."""
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        with open(os.path.join(directory, "manifest.json")) as fh:
+            self.manifest = json.load(fh)
+        self._shards: dict[int, dict] = {}
+        self._index: list[tuple[int, int]] = []  # utt -> (shard, local)
+        for si, sh in enumerate(self.manifest["shards"]):
+            for li in range(sh["count"]):
+                self._index.append((si, li))
+
+    def _shard(self, si: int) -> dict:
+        if si not in self._shards:
+            z = np.load(
+                os.path.join(
+                    self.directory, self.manifest["shards"][si]["file"]
+                ),
+                allow_pickle=True,
+                mmap_mode="r",
+            )
+            self._shards[si] = {
+                "samples": z["samples"],
+                "offsets": z["offsets"],
+                "transcripts": z["transcripts"],
+            }
+        return self._shards[si]
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def transcript(self, index: int) -> str:
+        si, li = self._index[index]
+        return str(self._shard(si)["transcripts"][li])
+
+    def waveform(self, index: int) -> np.ndarray:
+        si, li = self._index[index]
+        sh = self._shard(si)
+        lo, hi = sh["offsets"][li], sh["offsets"][li + 1]
+        return np.asarray(sh["samples"][lo:hi], dtype=np.float32)
+
+    def __getitem__(self, index: int):
+        return self.waveform(index), self.transcript(index)
+
+    def num_samples(self, index: int) -> int:
+        si, li = self._index[index]
+        off = self._shard(si)["offsets"]
+        return int(off[li + 1] - off[li])
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", default="synthetic")
+    p.add_argument("--split", default="dev-clean")
+    p.add_argument("--num-utterances", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", required=True)
+    p.add_argument("--shard-size", type=int, default=512)
+    args = p.parse_args()
+
+    if args.corpus == "synthetic":
+        corpus = SyntheticCorpus(args.num_utterances, seed=args.seed)
+    else:
+        from .librispeech import LibriSpeechCorpus
+
+        corpus = LibriSpeechCorpus(args.corpus, args.split)
+    m = write_shards(corpus, args.out, args.shard_size)
+    total_s = sum(s["audio_samples"] for s in m["shards"]) / 16000
+    print(
+        f"[prepare] wrote {m['num_utterances']} utterances "
+        f"({total_s:.1f} audio-s) in {len(m['shards'])} shards to {args.out}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -128,3 +128,43 @@ def test_forward_is_jittable_no_recompile():
         lb = jnp.asarray(rng.integers(1, 6, size=(2, 4)).astype(np.int32))
         f(lg, lb, jnp.asarray([10, 8]), jnp.asarray([4, 2])).block_until_ready()
     assert calls == 1  # traced once for a fixed shape
+
+
+def test_fb_grad_matches_autodiff():
+    # Hand-written alpha-beta backward vs autodiff-through-scan, batched
+    # with mixed lengths (incl. empty label and repeated labels).
+    rng = np.random.default_rng(7)
+    V = 8
+    cases = [
+        _rand_case(rng, 20, 5, V),
+        _rand_case(rng, 12, 12, V),
+        _rand_case(rng, 17, 0, V),
+    ]
+    cases.append((rng.normal(size=(30, V)).astype(np.float32),
+                  np.array([2, 2, 3, 3, 3, 5, 2], dtype=np.int32)))
+    logits, labels, in_lens, lab_lens = _batch_from_cases(cases, 32, 16, V)
+    lg = jnp.asarray(logits)
+    lb, il, ll = (jnp.asarray(x) for x in (labels, in_lens, lab_lens))
+
+    def loss_fb(x):
+        return ctc_loss(x, lb, il, ll, grad="fb").sum()
+
+    def loss_ad(x):
+        return ctc_loss(x, lb, il, ll, grad="autodiff").sum()
+
+    np.testing.assert_allclose(loss_fb(lg), loss_ad(lg), rtol=1e-5)
+    g_fb = np.asarray(jax.grad(loss_fb)(lg))
+    g_ad = np.asarray(jax.grad(loss_ad)(lg))
+    np.testing.assert_allclose(g_fb, g_ad, rtol=1e-3, atol=1e-4)
+
+
+def test_fb_grad_matches_numerical():
+    rng = np.random.default_rng(8)
+    V, T, L = 5, 7, 3
+    logits, labels = _rand_case(rng, T, L, V)
+    lg, lb, il, ll = _batch_from_cases([(logits, labels)], T, L, V)
+    f = lambda x: ctc_loss(x, jnp.asarray(lb), jnp.asarray(il),
+                           jnp.asarray(ll), grad="fb").sum()
+    g = np.asarray(jax.grad(f)(jnp.asarray(lg)))[0]
+    g_num = ctc_oracle.ctc_grad_single(logits.astype(np.float64), labels, T)
+    np.testing.assert_allclose(g, g_num, rtol=1e-3, atol=1e-3)

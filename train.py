@@ -32,6 +32,11 @@ def main() -> None:
                    help="call jax.distributed.initialize() (multi-host pods)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="greedy-WER eval every N epochs (0 = only at end)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of steps 10-20 into DIR "
+                        "(view with TensorBoard/Perfetto)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (slow; debugging only)")
     args = p.parse_args()
 
     if args.cpu:
@@ -42,6 +47,8 @@ def main() -> None:
 
     if args.distributed:
         jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from neuralasr_tpu.configs import PRESETS
     from neuralasr_tpu.training import Trainer, make_corpus
@@ -90,11 +97,19 @@ def main() -> None:
 
     eval_corpus = make_corpus(cfg, eval_split=True)
     t_start = time.time()
+    profiling = False
     for epoch in range(start_epoch, cfg.epochs):
         for batch in trainer.loader.epoch(epoch, start_batch):
+            if args.profile and trainer.step == 10 and not profiling:
+                jax.profiler.start_trace(args.profile)
+                profiling = True
             t0 = time.time()
             m = trainer.train_batch(batch)
             dt = time.time() - t0
+            if profiling and trainer.step >= 20:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"[train] profiler trace written to {args.profile}")
             logger.log(
                 step=trainer.step,
                 epoch=epoch,
@@ -116,6 +131,8 @@ def main() -> None:
             w = trainer.greedy_wer(eval_corpus)
             logger.log(step=trainer.step, epoch=epoch, eval_greedy_wer=w)
 
+    if profiling:
+        jax.profiler.stop_trace()
     w = trainer.greedy_wer(eval_corpus)
     logger.log(step=trainer.step, eval_greedy_wer=w, final=True,
                total_wall_s=time.time() - t_start)
