@@ -28,6 +28,10 @@ def main() -> None:
     p.add_argument("--greedy-only", action="store_true")
     p.add_argument("--max-utts", type=int, default=128)
     p.add_argument("--gate", type=float, default=None, help="fail if WER > gate")
+    p.add_argument("--blank-collapse", type=float, default=None,
+                   metavar="THRESH",
+                   help="drop frames with blank posterior > THRESH before "
+                        "beam search (arXiv 2210.17017; e.g. 0.999)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -98,9 +102,17 @@ def main() -> None:
         g_ids, g_lens = greedy_decode(logits, out_lens)
         g_ids, g_lens = np.asarray(g_ids), np.asarray(g_lens)
         if not args.greedy_only and beam_width > 1:
+            beam_in, beam_lens = logits, out_lens
+            if args.blank_collapse is not None:
+                from neuralasr_tpu.ctc.beam import blank_collapse
+
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                beam_in, beam_lens = blank_collapse(
+                    lp, out_lens, threshold=args.blank_collapse
+                )
             b_pref, b_lens, _ = beam_search_decode(
-                logits,
-                out_lens,
+                beam_in,
+                beam_lens,
                 beam_width=beam_width,
                 max_label_len=int(batch.labels.shape[1]) + 8,
                 lm_fn=lm_fn,

@@ -203,16 +203,28 @@ class Trainer:
         )
 
     def train_batch(self, batch: Batch) -> dict:
+        """One async-dispatched step.  'loss'/'grad_norm' are DEVICE scalars —
+        convert with float() only when logging (a float() per step forces a
+        device round-trip that serializes the pipeline; callers should sync
+        every log_every steps, letting transfers overlap compute)."""
         step_fn = self._step_for(batch.bucket)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 17), self.step)
         args = self.put_batch(batch)
         self.state, loss, gnorm = step_fn(self.state, rng, *args)
         self.step += 1
         return {
-            "loss": float(loss),
-            "grad_norm": float(gnorm),
+            "loss": loss,
+            "grad_norm": gnorm,
             "audio_s": float(batch.wav_lens.sum()) / self.cfg.features.sample_rate,
         }
+
+    def train_batch_device(self, bucket: int, device_args: tuple):
+        """Step on already-device-resident args (bench/steady-state path)."""
+        step_fn = self._step_for(bucket)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 17), self.step)
+        self.state, loss, gnorm = step_fn(self.state, rng, *device_args)
+        self.step += 1
+        return loss, gnorm
 
     # ---------------- evaluation ----------------
 

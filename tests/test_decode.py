@@ -127,3 +127,46 @@ def test_beam_lm_fusion_matches_oracle():
     logits = (rng.normal(size=(T, V)) * 2).astype(np.float32)
     _check_beam_case(logits, T, W=8, lm_fn=lm_fn, lm_weight=0.5,
                      lm_score=lm_score)
+
+
+def test_blank_collapse_preserves_decode():
+    from neuralasr_tpu.ctc.beam import blank_collapse
+    import jax
+
+    # Emissions: sparse non-blank peaks in a sea of confident blanks —
+    # the typical CTC posterior shape the compression targets.
+    rng = np.random.default_rng(6)
+    T, V = 40, 8
+    logits = np.full((T, V), 0.0, dtype=np.float32)
+    logits[:, 0] = 6.0  # confident blank everywhere...
+    peaks = [3, 9, 15, 22, 30]
+    for i, t in enumerate(peaks):
+        logits[t] = 0.0
+        logits[t, 1 + (i % (V - 1))] = 6.0  # ...except sparse label peaks
+    lp = jax.nn.log_softmax(jnp.asarray(logits[None]), axis=-1)
+    lens = jnp.asarray([T])
+
+    lp_c, new_lens = blank_collapse(lp, lens, threshold=0.9)
+    assert int(new_lens[0]) < T // 2  # real compression
+
+    full = beam_search_decode(lp, lens, beam_width=4, max_label_len=T)
+    comp = beam_search_decode(lp_c, new_lens, beam_width=4, max_label_len=T)
+    top_full = list(np.asarray(full[0])[0, 0, : int(full[1][0, 0])])
+    top_comp = list(np.asarray(comp[0])[0, 0, : int(comp[1][0, 0])])
+    assert top_full == top_comp
+    # And it matches greedy on these peaked emissions.
+    from neuralasr_tpu.reference import ctc_oracle
+
+    assert top_full == ctc_oracle.greedy_decode_single(logits, T)
+
+
+def test_blank_collapse_respects_lens():
+    from neuralasr_tpu.ctc.beam import blank_collapse
+    import jax
+
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(1, 20, 5)).astype(np.float32)
+    logits[0, 12:] = 50.0  # poison past length (non-blank! would be kept)
+    lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    _, new_lens = blank_collapse(lp, jnp.asarray([12]), threshold=0.5)
+    assert int(new_lens[0]) <= 12

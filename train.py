@@ -97,28 +97,33 @@ def main() -> None:
 
     eval_corpus = make_corpus(cfg, eval_split=True)
     t_start = time.time()
+    t_window, audio_acc = t_start, 0.0
     profiling = False
     for epoch in range(start_epoch, cfg.epochs):
         for batch in trainer.loader.epoch(epoch, start_batch):
             if args.profile and trainer.step == 10 and not profiling:
                 jax.profiler.start_trace(args.profile)
                 profiling = True
-            t0 = time.time()
             m = trainer.train_batch(batch)
-            dt = time.time() - t0
             if profiling and trainer.step >= 20:
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"[train] profiler trace written to {args.profile}")
-            logger.log(
-                step=trainer.step,
-                epoch=epoch,
-                bucket=batch.bucket,
-                loss=m["loss"],
-                grad_norm=m["grad_norm"],
-                audio_s=m["audio_s"],
-                audio_s_per_s=m["audio_s"] / max(dt, 1e-9),
-            )
+            # Steps dispatch asynchronously; sync (float()) only at the
+            # logging cadence so H2D transfers overlap compute.
+            audio_acc += m["audio_s"]
+            if trainer.step % cfg.log_every == 0 or trainer.step == 1:
+                now = time.time()
+                logger.log(
+                    step=trainer.step,
+                    epoch=epoch,
+                    bucket=batch.bucket,
+                    loss=float(m["loss"]),
+                    grad_norm=float(m["grad_norm"]),
+                    audio_s=m["audio_s"],
+                    audio_s_per_s=audio_acc / max(now - t_window, 1e-9),
+                )
+                t_window, audio_acc = time.time(), 0.0
             if trainer.step % cfg.ckpt_every == 0:
                 ckpt.save(
                     trainer.step,
