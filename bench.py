@@ -38,7 +38,7 @@ def main() -> None:
     from neuralasr_tpu.data.buckets import BucketSpec
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=16, help="bench batch size")
+    p.add_argument("--batch", type=int, default=32, help="bench batch size")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--pallas-frontend", action="store_true", default=True)
     p.add_argument("--no-pallas-frontend", dest="pallas_frontend",
