@@ -83,6 +83,7 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
 
     @jax.jit
     def frontend(wav: jnp.ndarray, wav_lens: jnp.ndarray):
+        wav = wav.astype(jnp.float32)  # int16 PCM wire format -> f32 on device
         B, N = wav.shape
         # Pre-emphasis: y[0] = x[0], y[t] = x[t] - a*x[t-1].
         shifted = jnp.concatenate([wav[:, :1] * 0, wav[:, :-1]], axis=1)
