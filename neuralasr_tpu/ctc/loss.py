@@ -284,6 +284,44 @@ def _ctc_fb_bwd(blank_id, res, g):
 _ctc_loss_fb.defvjp(_ctc_fb_fwd, _ctc_fb_bwd)
 
 
+def checked_ctc_loss(
+    logits, labels, input_lens, label_lens, blank_id: int = 0
+):
+    """Debug-mode CTC loss with checkify length-bound assertions
+    (SURVEY.md §6 "race detection / sanitizers" equivalent: there are no
+    threads to race, so the failure mode worth instrumenting is malformed
+    lengths/ids silently producing ~1e30 losses).
+
+    Returns (err, loss_per_utt); call err.throw() on host to surface
+    violations.  Usage:
+        err, loss = jax.jit(checked_ctc_loss)(logits, labels, il, ll)
+        err.throw()
+    """
+    from jax.experimental import checkify
+
+    def body(logits, labels, input_lens, label_lens):
+        B, T, V = logits.shape
+        L = labels.shape[1]
+        checkify.check(
+            jnp.all((input_lens >= 0) & (input_lens <= T)),
+            "input_lens out of [0, T]",
+        )
+        checkify.check(
+            jnp.all((label_lens >= 0) & (label_lens <= L)),
+            "label_lens out of [0, L]",
+        )
+        checkify.check(
+            jnp.all((labels >= 0) & (labels < V)),
+            "label ids out of vocab range",
+        )
+        checkify.check(
+            jnp.all(jnp.isfinite(logits)), "non-finite logits into CTC"
+        )
+        return ctc_loss(logits, labels, input_lens, label_lens, blank_id)
+
+    return checkify.checkify(body)(logits, labels, input_lens, label_lens)
+
+
 def ctc_loss_mean(
     logits, labels, input_lens, label_lens, blank_id: int = 0
 ) -> jnp.ndarray:

@@ -168,3 +168,31 @@ def test_fb_grad_matches_numerical():
     g = np.asarray(jax.grad(f)(jnp.asarray(lg)))[0]
     g_num = ctc_oracle.ctc_grad_single(logits.astype(np.float64), labels, T)
     np.testing.assert_allclose(g, g_num, rtol=1e-3, atol=1e-3)
+
+
+def test_checked_ctc_loss_flags_bad_lengths():
+    from neuralasr_tpu.ctc.loss import checked_ctc_loss
+
+    rng = np.random.default_rng(11)
+    B, T, V, L = 2, 12, 7, 4
+    logits = jnp.asarray(rng.normal(size=(B, T, V)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, V, size=(B, L)).astype(np.int32))
+    good = checked_ctc_loss(
+        logits, labels, jnp.asarray([12, 10]), jnp.asarray([4, 3])
+    )
+    err, loss = good
+    err.throw()  # no violation
+    assert np.all(np.isfinite(np.asarray(loss)))
+
+    err, _ = checked_ctc_loss(
+        logits, labels, jnp.asarray([13, 10]), jnp.asarray([4, 3])
+    )
+    with pytest.raises(Exception, match="input_lens"):
+        err.throw()
+
+    err, _ = checked_ctc_loss(
+        logits, labels.at[0, 0].set(V), jnp.asarray([12, 10]),
+        jnp.asarray([4, 3])
+    )
+    with pytest.raises(Exception, match="vocab"):
+        err.throw()
