@@ -110,6 +110,17 @@ def main() -> None:
                 beam_in, beam_lens = blank_collapse(
                     lp, out_lens, threshold=args.blank_collapse
                 )
+                # Crop the left-compacted frames to a bucketed static length:
+                # the beam scan then runs ~compression-factor fewer steps.
+                # (Quantize to 64 so at most a handful of beam programs
+                # compile across the whole eval.)
+                T_c = int(
+                    min(
+                        beam_in.shape[1],
+                        max(64, -(-int(np.max(np.asarray(beam_lens))) // 64) * 64),
+                    )
+                )
+                beam_in = beam_in[:, :T_c]
             b_pref, b_lens, _ = beam_search_decode(
                 beam_in,
                 beam_lens,
