@@ -33,6 +33,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from neuralasr_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from neuralasr_tpu.configs import CONFIG5
     from neuralasr_tpu.training import Trainer
     from neuralasr_tpu.data.buckets import BucketSpec

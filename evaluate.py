@@ -42,6 +42,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from neuralasr_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from neuralasr_tpu.configs import PRESETS
     from neuralasr_tpu.training import Trainer, make_corpus, _Slice
     from neuralasr_tpu.utils.checkpoint import Checkpointer, abstract_like

@@ -45,6 +45,9 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    from neuralasr_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.distributed:
         jax.distributed.initialize()
     if args.debug_nans:
