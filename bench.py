@@ -50,25 +50,41 @@ def main() -> None:
     p.add_argument("--no-pallas-attention", dest="pallas_attention",
                    action="store_false")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--model", default="conformer12x384",
+                   choices=["conformer12x384", "bilstm4x512"],
+                   help="flagship Conformer (config 5) or the config-2 BiLSTM")
+    p.add_argument("--scan-unroll", type=int, default=None,
+                   help="override LSTM scan unroll (bilstm model only)")
     args = p.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
     use_pallas_attn = (
         args.pallas_attention if args.pallas_attention is not None else on_tpu
     )
+    if args.model == "bilstm4x512":
+        from neuralasr_tpu.configs import CONFIG2
+
+        base = CONFIG2
+        model_over = dict(
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        )
+        if args.scan_unroll is not None:
+            model_over["scan_unroll"] = args.scan_unroll
+    else:
+        base = CONFIG5
+        model_over = dict(
+            use_pallas_attention=use_pallas_attn,
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        )
     cfg = dataclasses.replace(
-        CONFIG5,
+        base,
         num_utterances=64,
         batch_size=args.batch * 4,  # bucket ladder halves bs twice by 9.5 s
         specaugment=True,
         features=dataclasses.replace(
-            CONFIG5.features, use_pallas=args.pallas_frontend and on_tpu
+            base.features, use_pallas=args.pallas_frontend and on_tpu
         ),
-        model=dataclasses.replace(
-            CONFIG5.model,
-            use_pallas_attention=use_pallas_attn,
-            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        ),
+        model=dataclasses.replace(base.model, **model_over),
     )
     trainer = Trainer(cfg)
     sr = cfg.features.sample_rate
@@ -180,7 +196,7 @@ def main() -> None:
                 "beam16_audio_s_per_s_per_chip": round(beam_tp, 2),
                 "pipeline_audio_s_per_s_incl_h2d": round(pipeline_tp, 2),
                 "backend": jax.default_backend(),
-                "model": "conformer12x384",
+                "model": args.model,
                 "batch": B,
                 "bucket_audio_s": audio_s / B,
             }

@@ -29,6 +29,7 @@ def specaugment(
         for k in range(n_masks):
             rng, r1, r2 = jax.random.split(rng, 3)
             w = jax.random.randint(r1, (B,), 0, width + 1)  # [B]
+            w = jnp.minimum(w, limit // 5)  # short rows keep >= ~4/5 content
             start = (
                 jax.random.uniform(r2, (B,))
                 * jnp.maximum(limit - w, 1).astype(jnp.float32)

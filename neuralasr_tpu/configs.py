@@ -24,6 +24,11 @@ class TrainConfig:
     corpus: str = "synthetic"  # "synthetic" | path to LibriSpeech root
     corpus_split: str = "dev-clean"
     num_utterances: int = 512  # synthetic corpus size
+    # Synthetic-corpus char duration. Configs with 4x conv subsampling get
+    # 120 ms (3 encoder frames per char) — at the default 80 ms every
+    # utterance sits at the CTC feasibility edge (T' ~ 2L+1), which stalls
+    # training on redundancy-free random text.
+    synth_char_ms: float = 80.0
     batch_size: int = 16  # largest bucket's batch size
     seed: int = 0
     # optimization
@@ -107,6 +112,7 @@ CONFIG3 = _register(
             conv_out_dim=512,
         ),
         features=_feat_logmel(),
+        synth_char_ms=120.0,
         num_utterances=4096,
         batch_size=32,
         epochs=20,
@@ -127,6 +133,7 @@ CONFIG4 = _register(
             conv_out_dim=512,
         ),
         features=_feat_logmel(),
+        synth_char_ms=120.0,
         num_utterances=8192,
         batch_size=32,
         epochs=20,
@@ -154,6 +161,7 @@ CONFIG5 = _register(
             use_pallas_attention=True,
         ),
         features=_feat_logmel(),
+        synth_char_ms=120.0,
         num_utterances=8192,
         batch_size=32,
         epochs=20,

@@ -36,6 +36,9 @@ class ModelConfig:
     dropout: float = 0.0
     use_pallas_attention: bool = False
     dtype: Any = jnp.float32
+    # LSTM recurrence unroll: higher amortizes loop overhead but multiplies
+    # XLA compile time of every (bucket) program; 8 ~ throughput plateau.
+    scan_unroll: int = 8
 
     def output_lens(self, feat_lens):
         return subsampled_len(feat_lens) if self.conv_subsample else feat_lens
@@ -65,6 +68,7 @@ class CTCModel(nn.Module):
                 num_layers=cfg.num_layers,
                 hidden=cfg.hidden,
                 dtype=cfg.dtype,
+                scan_unroll=cfg.scan_unroll,
                 name="encoder",
             )(h, lens)
         elif cfg.encoder_type == "conformer":

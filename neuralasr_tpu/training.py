@@ -40,7 +40,11 @@ def make_corpus(cfg: TrainConfig, eval_split: bool = False):
     if cfg.corpus == "synthetic":
         n = max(cfg.num_utterances // 8, 16) if eval_split else cfg.num_utterances
         # Disjoint seeds => disjoint utterances for train/eval.
-        return SyntheticCorpus(n, seed=cfg.seed + (1000 if eval_split else 0))
+        return SyntheticCorpus(
+            n,
+            seed=cfg.seed + (1000 if eval_split else 0),
+            char_dur_ms=cfg.synth_char_ms,
+        )
     from .data.librispeech import LibriSpeechCorpus
 
     split = "test-clean" if eval_split else cfg.corpus_split

@@ -26,6 +26,10 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--corpus", default=None, help="'synthetic' or LibriSpeech root")
+    p.add_argument("--specaugment", type=int, default=None, choices=[0, 1],
+                   help="override the preset's SpecAugment switch (masking "
+                        "random-text synthetic data is unlearnable — masked "
+                        "chars have no contextual redundancy)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force XLA:CPU")
     p.add_argument("--distributed", action="store_true",
@@ -68,6 +72,9 @@ def main() -> None:
             "lr": args.lr,
             "seed": args.seed,
             "corpus": args.corpus,
+            "specaugment": (
+                None if args.specaugment is None else bool(args.specaugment)
+            ),
         }.items()
         if v is not None
     }
