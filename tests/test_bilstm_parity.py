@@ -1,0 +1,74 @@
+"""Per-frame BiLSTM output parity vs the step-by-step numpy oracle — the
+BASELINE.json numeric gate's "per-frame log-posteriors allclose vs CPU
+reference" surface (SURVEY.md §5.1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flax.core import meta as flax_meta
+
+from neuralasr_tpu.models.bilstm import BiLSTMEncoder, LSTMLayer
+from neuralasr_tpu.reference import lstm_oracle
+
+
+def _unbox(params):
+    return flax_meta.unbox(params)
+
+
+def test_lstm_layer_matches_oracle():
+    rng = np.random.default_rng(0)
+    B, T, D, H = 3, 11, 5, 7
+    x = rng.normal(size=(B, T, D)).astype(np.float32)
+    layer = LSTMLayer(H)
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    out = np.asarray(layer.apply({"params": params}, jnp.asarray(x)))
+    raw = _unbox(params)
+    wx, wh, b = (np.asarray(raw[k]) for k in ("wx", "wh", "b"))
+    for r in range(B):
+        ref = lstm_oracle.lstm_forward(x[r], wx, wh, b)
+        np.testing.assert_allclose(out[r], ref, atol=1e-5, rtol=1e-5)
+
+
+def test_bilstm_encoder_matches_oracle_with_padding():
+    """2-layer BiLSTM on a padded batch == per-row oracle on true lengths.
+
+    Exercises the classic parity bug (SURVEY.md §8): the backward direction
+    must reverse within each utterance's true length, not within padded T.
+    """
+    rng = np.random.default_rng(1)
+    B, T, D, H, layers = 3, 12, 4, 6, 2
+    lens = np.asarray([12, 9, 5], np.int32)
+    x = rng.normal(size=(B, T, D)).astype(np.float32)
+    for r, n in enumerate(lens):
+        x[r, n:] = 13.0  # poison padding; must not affect valid frames
+
+    enc = BiLSTMEncoder(num_layers=layers, hidden=H)
+    params = enc.init(
+        jax.random.PRNGKey(2), jnp.asarray(x), jnp.asarray(lens)
+    )["params"]
+    out = np.asarray(
+        enc.apply({"params": params}, jnp.asarray(x), jnp.asarray(lens))
+    )
+
+    raw = _unbox(params)
+
+    def p(name):
+        sub = raw[name]
+        return (
+            np.asarray(sub["wx"]),
+            np.asarray(sub["wh"]),
+            np.asarray(sub["b"]),
+        )
+
+    for r in range(B):
+        h = x[r, : lens[r]]
+        for layer in range(layers):
+            h = lstm_oracle.bilstm_forward(
+                h, p(f"fwd_{layer}"), p(f"bwd_{layer}")
+            )
+        np.testing.assert_allclose(
+            out[r, : lens[r]], h, atol=1e-4, rtol=1e-4
+        )
+        # Padded positions are zeroed.
+        assert np.all(out[r, lens[r]:] == 0.0)
