@@ -60,6 +60,48 @@ def test_resume_mid_epoch_matches():
     assert resumed[0].index == full[2].index
 
 
+def test_checkpoint_roundtrip(tmp_path, tiny_cfg):
+    """Save -> restore into a fresh Trainer -> identical continuation.
+
+    Exercises the orbax Checkpointer (utils/checkpoint.py) the way the CLIs
+    use it: the restored {params, opt_state} must produce the same next-step
+    loss as the uninterrupted run (the reference's Saver.save/restore
+    contract, SURVEY.md §6)."""
+    from neuralasr_tpu.utils.checkpoint import Checkpointer, abstract_like
+
+    tr = Trainer(tiny_cfg)
+    batches = list(tr.loader.epoch(0))
+    for b in batches[:2]:
+        tr.train_batch(b)
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(
+        tr.step,
+        tr.state,
+        {"step": tr.step, "epoch": 0, "batch_index": 1,
+         "config": tiny_cfg.to_json()},
+    )
+    ref_loss = float(tr.train_batch(batches[0])["loss"])
+
+    tr2 = Trainer(tiny_cfg)
+    state, meta = ckpt.restore(abstract_like(tr2.state))
+    ckpt.close()
+    assert meta["step"] == 2 and meta["batch_index"] == 1
+    tr2.state = state
+    tr2.step = int(meta["step"])
+    resumed_loss = float(tr2.train_batch(batches[0])["loss"])
+    np.testing.assert_allclose(resumed_loss, ref_loss, rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_restore_empty(tmp_path):
+    from neuralasr_tpu.utils.checkpoint import Checkpointer
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    state, meta = ckpt.restore(None)
+    ckpt.close()
+    assert state is None and meta is None
+
+
 def test_synthetic_corpus_deterministic():
     c1 = SyntheticCorpus(8, seed=5)
     c2 = SyntheticCorpus(8, seed=5)
