@@ -28,6 +28,9 @@ def main() -> None:
     p.add_argument("--greedy-only", action="store_true")
     p.add_argument("--max-utts", type=int, default=128)
     p.add_argument("--gate", type=float, default=None, help="fail if WER > gate")
+    p.add_argument("--lm-weight", type=float, default=None,
+                   help="override the preset's shallow-fusion weight "
+                        "(0 disables the LM; isolates the fusion gain)")
     p.add_argument("--blank-collapse", type=float, default=None,
                    metavar="THRESH",
                    help="drop frames with blank posterior > THRESH before "
@@ -70,6 +73,10 @@ def main() -> None:
     beam_width = args.beam if args.beam is not None else cfg.beam_width
 
     lm_fn, lm_weight = None, 0.0
+    if args.lm_weight is not None:
+        cfg = dataclasses.replace(cfg, lm_weight=args.lm_weight,
+                                  lm_order=cfg.lm_order if args.lm_weight > 0
+                                  else 0)
     if cfg.lm_order > 0 and not args.greedy_only:
         train_corpus = make_corpus(cfg)
         lm = NGramLM.train(
