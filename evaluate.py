@@ -27,6 +27,8 @@ def main() -> None:
     p.add_argument("--beam", type=int, default=None, help="beam width (default: preset)")
     p.add_argument("--greedy-only", action="store_true")
     p.add_argument("--max-utts", type=int, default=128)
+    p.add_argument("--step", type=int, default=None,
+                   help="restore a specific checkpoint step (default: latest)")
     p.add_argument("--gate", type=float, default=None, help="fail if WER > gate")
     p.add_argument("--lm-weight", type=float, default=None,
                    help="override the preset's shallow-fusion weight "
@@ -62,7 +64,7 @@ def main() -> None:
     workdir = args.workdir or f"runs/{cfg.name}"
     trainer = Trainer(cfg)
     ckpt = Checkpointer(os.path.join(workdir, "ckpt"))
-    state, meta = ckpt.restore(abstract_like(trainer.state))
+    state, meta = ckpt.restore(abstract_like(trainer.state), step=args.step)
     if state is None:
         print(f"[evaluate] no checkpoint under {workdir}/ckpt", file=sys.stderr)
         sys.exit(2)

@@ -76,4 +76,18 @@ st2, meta = ck.restore(abstract_like(tr.state))
 same = jax.tree.all(jax.tree.map(lambda a,b: bool(jnp.allclose(a,b)), tr.state["params"], st2["params"]))
 print("== probe checkpoint roundtrip: params equal:", same, "meta:", meta)
 ck.close(); shutil.rmtree(d)
+
+# PROBE 4: the evaluate.py CLI end-to-end (restore --step from a workdir,
+# greedy decode, WER JSON line).
+wd = tempfile.mkdtemp()
+ck2 = Checkpointer(os.path.join(wd, "ckpt"))
+ck2.save(tr.step, tr.state,
+         {"step": tr.step, "epoch": 2, "batch_index": 0, "config": cfg.to_json()})
+ck2.close()
+import evaluate as eval_cli
+sys.argv = ["evaluate.py", "--config", "tiny", "--workdir", wd, "--cpu",
+            "--greedy-only", "--max-utts", "8", "--step", str(tr.step)]
+eval_cli.main()
+print("== probe evaluate CLI: ok")
+shutil.rmtree(wd)
 print("VERIFY-DRIVE-OK")
