@@ -25,14 +25,18 @@ import flax.linen as nn
 Dtype = Any
 
 
-def _dense(feat, name, axes=("embed", "ff"), dtype=jnp.float32):
+def _dense(feat, name, axes=("embed", "ff"), dtype=jnp.float32, zero_init=False):
+    # zero_init: residual-branch output projections start at zero so every
+    # block is the identity at init. Without this the 12-block stack starts
+    # with grad-norm ~1.7e3 and settles into the all-blank CTC local optimum
+    # (observed: single-batch overfit plateaus at loss ~50 for 12 blocks
+    # while 2 blocks reach 0 in 50 steps); with it the deep stack trains.
+    init = nn.initializers.zeros if zero_init else nn.initializers.glorot_uniform()
     return nn.Dense(
         feat,
         dtype=dtype,
         name=name,
-        kernel_init=nn.with_logical_partitioning(
-            nn.initializers.glorot_uniform(), axes
-        ),
+        kernel_init=nn.with_logical_partitioning(init, axes),
     )
 
 
@@ -62,7 +66,7 @@ class FeedForward(nn.Module):
         h = _dense(self.dim * self.mult, "in", ("embed", "ff"), self.dtype)(h)
         h = nn.swish(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = _dense(self.dim, "out", ("ff", "embed"), self.dtype)(h)
+        h = _dense(self.dim, "out", ("ff", "embed"), self.dtype, zero_init=True)(h)
         return nn.Dropout(self.dropout, deterministic=not train)(h)
 
 
@@ -99,7 +103,7 @@ class MHSA(nn.Module):
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
         out = out.reshape(B, T, self.dim)
-        return _dense(self.dim, "proj", ("heads", "embed"), self.dtype)(out)
+        return _dense(self.dim, "proj", ("heads", "embed"), self.dtype, zero_init=True)(out)
 
 
 class ConvModule(nn.Module):
@@ -125,7 +129,7 @@ class ConvModule(nn.Module):
         )(h)
         h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
         h = nn.swish(h)
-        h = _dense(self.dim, "pw_out", ("ff", "embed"), self.dtype)(h)
+        h = _dense(self.dim, "pw_out", ("ff", "embed"), self.dtype, zero_init=True)(h)
         return nn.Dropout(self.dropout, deterministic=not train)(h)
 
 

@@ -86,3 +86,44 @@ def test_conformer_padding_invariance():
     np.testing.assert_allclose(
         np.asarray(la)[0], np.asarray(lb)[0, :T1], rtol=1e-4, atol=1e-4
     )
+
+
+def test_deep_conformer_overfits_toy_batch():
+    """Regression: a DEEP conformer stack must escape the all-blank CTC
+    optimum. Before zero-init residual output projections
+    (models/conformer.py::_dense), 12 blocks plateaued at loss ~50 on a
+    single batch while 2 blocks reached ~0; 8 small blocks reproduce the
+    failure mode on CPU in seconds."""
+    import optax
+    from neuralasr_tpu.ctc.loss import ctc_loss
+
+    cfg = ModelConfig(
+        encoder_type="conformer", num_layers=8, hidden=64, num_heads=4,
+        ff_mult=2, conv_kernel=7, conv_subsample=False,
+    )
+    model = CTCModel(cfg)
+    rng = np.random.default_rng(0)
+    B, T, F = 4, 40, 16
+    feats = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    feat_lens = jnp.asarray([40, 36, 40, 30], jnp.int32)
+    labels = jnp.asarray(rng.integers(1, 29, size=(B, 8)), jnp.int32)
+    label_lens = jnp.asarray([8, 6, 8, 5], jnp.int32)
+
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens)["params"]
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits, out_lens = model.apply({"params": p}, feats, feat_lens)
+            return ctc_loss(logits, labels, out_lens, label_lens).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = None
+    for _ in range(150):
+        params, opt_state, loss = step(params, opt_state)
+    assert float(loss) < 2.0, f"deep conformer stuck at loss {float(loss):.2f}"
