@@ -43,10 +43,26 @@ class TrainConfig:
     time_mask: int = 20
     num_freq_masks: int = 1
     num_time_masks: int = 2
+    # Time-mask fill scale: 1.0 = unit-Gaussian noise (default; see
+    # augment/specaugment.py — exact zeros overflow deep-stack grads),
+    # 0.0 = classic zero fill.
+    time_mask_noise: float = 1.0
     # decoding
     beam_width: int = 16
     lm_order: int = 0  # 0 = no shallow fusion
     lm_weight: float = 0.0
+    # evaluation protocol (de-saturated WER ladder — a gate needs a signal;
+    # VERDICT.md round-1 item 4). 0/None = neutral: eval split mirrors the
+    # train distribution. Presets 2-5 set a harder protocol: more held-out
+    # utterances, a raised noise floor, and a constant formant shift never
+    # seen in training, so greedy/beam/beam+LM rank as distinct numbers.
+    eval_utts: int = 0  # 0 -> max(num_utterances // 8, 16)
+    eval_noise_level: Optional[float] = None  # None -> train noise (0.05)
+    eval_formant_shift_hz: float = 0.0
+    # corpus cache: "auto" packs synthetic corpora >= 2048 utts to disk once
+    # (int16 shards, mmap reads thereafter — epochs stop re-synthesizing
+    # formants); "" disables; any other string is the cache directory.
+    cache_dir: str = "auto"
     # distribution
     model_axis: int = 1  # >1 shards the encoder over the 'model' mesh axis
     # io
@@ -97,6 +113,9 @@ CONFIG2 = _register(
         batch_size=32,
         epochs=20,
         beam_width=16,
+        eval_utts=512,
+        eval_noise_level=0.25,
+        eval_formant_shift_hz=15.0,
     )
 )
 
@@ -118,6 +137,9 @@ CONFIG3 = _register(
         epochs=20,
         specaugment=True,
         beam_width=16,
+        eval_utts=512,
+        eval_noise_level=0.25,
+        eval_formant_shift_hz=15.0,
     )
 )
 
@@ -141,6 +163,9 @@ CONFIG4 = _register(
         beam_width=16,
         lm_order=3,
         lm_weight=0.5,
+        eval_utts=512,
+        eval_noise_level=0.25,
+        eval_formant_shift_hz=15.0,
     )
 )
 
@@ -167,6 +192,9 @@ CONFIG5 = _register(
         epochs=20,
         specaugment=True,
         beam_width=16,
+        eval_utts=512,
+        eval_noise_level=0.25,
+        eval_formant_shift_hz=15.0,
         model_axis=1,  # raised on pods whose encoder exceeds one chip's HBM
     )
 )

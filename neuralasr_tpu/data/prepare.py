@@ -27,7 +27,11 @@ from ..text import encode
 from .synthetic import SyntheticCorpus
 
 
-def write_shards(corpus, out_dir: str, shard_size: int = 512) -> dict:
+def write_shards(
+    corpus, out_dir: str, shard_size: int = 512, dtype=np.float32
+) -> dict:
+    """dtype=np.int16 stores PCM16 (half the bytes; lossless whenever the
+    consumer quantizes to int16 anyway, as the training loader does)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = {"num_utterances": len(corpus), "shards": []}
     for s0 in range(0, len(corpus), shard_size):
@@ -35,14 +39,25 @@ def write_shards(corpus, out_dir: str, shard_size: int = 512) -> dict:
         wavs, texts = [], []
         for i in ids:
             w, t = corpus[i]
-            wavs.append(np.asarray(w, dtype=np.float32))
+            w = np.asarray(w)
+            if dtype == np.int16:
+                w = np.clip(np.rint(w), -32768, 32767).astype(np.int16)
+            else:
+                w = w.astype(dtype)
+            wavs.append(w)
             texts.append(t)
         offsets = np.zeros(len(wavs) + 1, dtype=np.int64)
         np.cumsum([len(w) for w in wavs], out=offsets[1:])
-        shard_name = f"shard_{s0 // shard_size:05d}.npz"
+        # Samples live in their own .npy: np.load silently IGNORES
+        # mmap_mode for .npz members, so a combined archive would read the
+        # whole shard into RAM on first touch; a bare .npy memory-maps.
+        shard_name = f"shard_{s0 // shard_size:05d}"
+        np.save(
+            os.path.join(out_dir, shard_name + ".samples.npy"),
+            np.concatenate(wavs) if wavs else np.zeros(0, dtype),
+        )
         np.savez(
-            os.path.join(out_dir, shard_name),
-            samples=np.concatenate(wavs) if wavs else np.zeros(0, np.float32),
+            os.path.join(out_dir, shard_name + ".meta.npz"),
             offsets=offsets,
             transcripts=np.asarray(texts, dtype=object),
         )
@@ -74,17 +89,16 @@ class PackedCorpus:
 
     def _shard(self, si: int) -> dict:
         if si not in self._shards:
-            z = np.load(
-                os.path.join(
-                    self.directory, self.manifest["shards"][si]["file"]
-                ),
-                allow_pickle=True,
-                mmap_mode="r",
+            stem = os.path.join(
+                self.directory, self.manifest["shards"][si]["file"]
             )
+            meta = np.load(stem + ".meta.npz", allow_pickle=True)
             self._shards[si] = {
-                "samples": z["samples"],
-                "offsets": z["offsets"],
-                "transcripts": z["transcripts"],
+                # True mmap: the OS pages audio in on demand and evicts it
+                # under pressure — a 960 h corpus never has to fit in RAM.
+                "samples": np.load(stem + ".samples.npy", mmap_mode="r"),
+                "offsets": meta["offsets"],
+                "transcripts": meta["transcripts"],
             }
         return self._shards[si]
 

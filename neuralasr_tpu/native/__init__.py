@@ -14,10 +14,9 @@ import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
+# Sources ship as package data alongside this module, so the first-use
+# `make` build works from site-packages as well as from a checkout.
+_NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_NATIVE_DIR, "libasrnative.so")
 
 
@@ -53,21 +52,6 @@ try:
     _lib = _load()
 except Exception as e:  # pragma: no cover - toolchain-less environments
     raise ImportError(f"native library unavailable: {e}") from e
-
-
-def _flatten(seqs: list[list]) -> tuple[np.ndarray, np.ndarray]:
-    """Token sequences -> (flat int32 ids, int64 offsets). Tokens of any
-    hashable type are interned to ids consistently across the call."""
-    interner: dict = {}
-    flat, off = [], [0]
-    for s in seqs:
-        for tok in s:
-            flat.append(interner.setdefault(tok, len(interner)))
-        off.append(len(flat))
-    return (
-        np.asarray(flat or [0], dtype=np.int32),
-        np.asarray(off, dtype=np.int64),
-    )
 
 
 def edit_distance_batch(refs: list[list], hyps: list[list]) -> np.ndarray:

@@ -38,17 +38,64 @@ from .utils.metrics import wer
 
 def make_corpus(cfg: TrainConfig, eval_split: bool = False):
     if cfg.corpus == "synthetic":
-        n = max(cfg.num_utterances // 8, 16) if eval_split else cfg.num_utterances
-        # Disjoint seeds => disjoint utterances for train/eval.
-        return SyntheticCorpus(
+        if eval_split:
+            n = cfg.eval_utts or max(cfg.num_utterances // 8, 16)
+        else:
+            n = cfg.num_utterances
+        # Disjoint seeds => disjoint utterances for train/eval.  The eval
+        # split optionally applies the harder protocol (unseen formant
+        # shift + raised noise floor) so WER has measurable headroom.
+        corpus = SyntheticCorpus(
             n,
             seed=cfg.seed + (1000 if eval_split else 0),
             char_dur_ms=cfg.synth_char_ms,
+            noise_level=(
+                cfg.eval_noise_level
+                if eval_split and cfg.eval_noise_level is not None
+                else 0.05
+            ),
+            formant_shift_hz=cfg.eval_formant_shift_hz if eval_split else 0.0,
         )
+        return _maybe_cache(cfg, corpus, "eval" if eval_split else "train")
     from .data.librispeech import LibriSpeechCorpus
 
     split = "test-clean" if eval_split else cfg.corpus_split
     return LibriSpeechCorpus(cfg.corpus, split)
+
+
+def _maybe_cache(cfg: TrainConfig, corpus, tag: str):
+    """Pack a large synthetic corpus to int16 shards once; mmap thereafter.
+
+    Epoch loops over SyntheticCorpus re-synthesize every formant burst on
+    the host (VERDICT.md round-1 weak #4); the packed cache makes waveform()
+    an mmap slice.  int16 is lossless for the training path (the loader
+    rounds to int16 wire format anyway).  Writes go to a tmp dir renamed
+    atomically, so concurrent processes race benignly.
+    """
+    if not cfg.cache_dir:
+        return corpus
+    if cfg.cache_dir == "auto" and len(corpus) < 2048:
+        return corpus
+    import os
+
+    from .data.prepare import PackedCorpus, write_shards
+
+    root = "runs/_corpus_cache" if cfg.cache_dir == "auto" else cfg.cache_dir
+    key = (
+        f"{tag}_n{len(corpus)}_seed{corpus.seed}_cd{int(corpus.char_dur)}"
+        f"_nl{corpus.noise_level:g}_fs{corpus.formant_shift_hz:g}"
+    )
+    d = os.path.join(root, key)
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        tmp = f"{d}.tmp.{os.getpid()}"
+        write_shards(corpus, tmp, dtype=np.int16)
+        try:
+            os.rename(tmp, d)
+        except OSError:  # lost the race: another process finished first
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return PackedCorpus(d)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -176,6 +223,7 @@ class Trainer:
                     time_mask=cfg.time_mask,
                     num_freq_masks=cfg.num_freq_masks,
                     num_time_masks=cfg.num_time_masks,
+                    time_mask_noise=cfg.time_mask_noise,
                 )
             (loss, _aux), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True

@@ -18,6 +18,46 @@ def _wav(rng, n):
     return (x * 8000).astype(np.float32)
 
 
+def test_dct_matrix_matches_scipy():
+    """Both independent DCT constructions == scipy's ortho DCT-II (breaks
+    the oracle<->frontend circularity flagged in VERDICT.md weak #1)."""
+    from scipy.fft import dct as scipy_dct
+
+    from neuralasr_tpu.features.frontend import dct_matrix as fe_dct
+
+    for n_out, n_in in [(13, 26), (20, 80), (26, 26)]:
+        x = np.random.default_rng(0).normal(size=(5, n_in))
+        want = scipy_dct(x, type=2, norm="ortho", axis=-1)[:, :n_out]
+        np.testing.assert_allclose(x @ fe_dct(n_out, n_in), want, atol=1e-12)
+        np.testing.assert_allclose(
+            x @ oracle.dct_matrix(n_out, n_in), want, atol=1e-12
+        )
+
+
+def test_mel_filterbank_independent_constructions_agree():
+    """Frontend's vectorized HTK filterbank == oracle's loop construction,
+    and both satisfy hand-derived HTK invariants."""
+    from neuralasr_tpu.features.frontend import mel_filterbank as fe_fb
+
+    for n_mels, n_fft, sr in [(26, 512, 16000), (80, 512, 16000), (40, 1024, 8000)]:
+        a = fe_fb(n_mels, n_fft, sr)
+        b = oracle.mel_filterbank(n_mels, n_fft, sr)
+        np.testing.assert_allclose(a, b, atol=1e-12)
+        # HTK invariants, derived independently of either implementation:
+        # triangle peaks sit at floor((n_fft+1)*hz/sr) for the n_mels centre
+        # points of the 2595*log10(1+f/700) scale.
+        mel_max = 2595.0 * np.log10(1.0 + (sr / 2.0) / 700.0)
+        pts = 700.0 * (10.0 ** (np.linspace(0, mel_max, n_mels + 2) / 2595.0) - 1.0)
+        centers = np.floor((n_fft + 1) * pts[1:-1] / sr).astype(int)
+        lo = np.floor((n_fft + 1) * pts[:-2] / sr).astype(int)
+        hi = np.floor((n_fft + 1) * pts[2:] / sr).astype(int)
+        for m in range(n_mels):
+            if centers[m] > lo[m] and hi[m] > centers[m]:  # non-degenerate
+                assert a[centers[m], m] == 1.0, (m, centers[m])
+        assert a.shape == (n_fft // 2 + 1, n_mels)
+        assert (a >= 0).all() and (a <= 1).all()
+
+
 def test_num_frames_matches_oracle():
     for n in [0, 399, 400, 401, 559, 560, 16000]:
         assert int(num_frames(n)) == oracle.num_frames(n)
