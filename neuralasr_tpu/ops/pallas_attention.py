@@ -117,11 +117,67 @@ def _forward(q, k, v, lens, block_q: int = 128, interpret: bool | None = None):
     return of.reshape(B, H, T, D).transpose(0, 2, 1, 3)
 
 
+# ---------------- GSPMD partitioning ----------------
+#
+# A bare pallas_call is opaque to the partitioner: under a sharded mesh
+# GSPMD would all-gather its inputs onto every device (or refuse to
+# partition), which is why round 1's multi-chip dryrun had to swap the
+# kernel out for XLA attention (VERDICT.md round-1 item 2).
+# custom_partitioning declares the kernel's parallelism to the compiler:
+# batch and head axes are embarrassingly parallel (each (b, h) pair's
+# attention is independent), while time and head_dim must stay whole on
+# each shard (the kernel holds the full K/V stripe in VMEM and masks keys
+# from per-row lengths).  The partitioner then runs the kernel per-shard
+# on ('data' x 'model')-sharded activations with zero collectives.
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _attn_specs(mesh, arg_shapes):
+    """Per-shard shardings: keep whatever b/h axes the partitioner
+    suggested for q, force t/d replicated, and tie lens to q's batch."""
+    spec = arg_shapes[0].sharding.spec
+    b = spec[0] if len(spec) > 0 else None
+    h = spec[2] if len(spec) > 2 else None
+    qkv = NamedSharding(mesh, P(b, None, h, None))
+    lens = NamedSharding(mesh, P(b))
+    return qkv, lens
+
+
+def _infer_sharding(mesh, arg_shapes, result_shape):
+    return _attn_specs(mesh, arg_shapes)[0]
+
+
+def _partition(mesh, arg_shapes, result_shape):
+    qkv, lens = _attn_specs(mesh, arg_shapes)
+
+    def lower_fn(q, k, v, l):
+        return _forward(q, k, v, l)
+
+    return mesh, lower_fn, qkv, (qkv, qkv, qkv, lens)
+
+
+@custom_partitioning
+def _forward_partitioned(q, k, v, lens):
+    return _forward(q, k, v, lens)
+
+
+_forward_partitioned.def_partition(
+    partition=_partition,
+    infer_sharding_from_operands=_infer_sharding,  # GSPMD path
+    # Shardy path (the jax 0.9 default partitioner): einsum-style rule —
+    # b and h shard freely; t and d must be replicated per shard.
+    sharding_rule="b t h d, b t h d, b t h d, b -> b t h d",
+    need_replication_factors=("t", "d"),
+)
+
+
 @jax.custom_vjp
 def flash_attention(q, k, v, mask_or_lens):
     """q,k,v [B,T,H,D]; mask_or_lens: either lens [B] int or mask [B,T] bool."""
     lens = _as_lens(mask_or_lens)
-    return _forward(q, k, v, lens)
+    return _forward_partitioned(q, k, v, lens)
 
 
 def _as_lens(mask_or_lens):
@@ -132,7 +188,7 @@ def _as_lens(mask_or_lens):
 
 def _fwd(q, k, v, mask_or_lens):
     lens = _as_lens(mask_or_lens)
-    return _forward(q, k, v, lens), (q, k, v, lens)
+    return _forward_partitioned(q, k, v, lens), (q, k, v, lens)
 
 
 def _bwd(res, g):

@@ -242,16 +242,39 @@ class Trainer:
             self._step_fns[bucket] = self._make_step(bucket)
         return self._step_fns[bucket]
 
-    def put_batch(self, batch: Batch):
-        """Host arrays -> device arrays sharded over the 'data' axis."""
-        put = lambda x: jax.device_put(x, self.data_sharding)
-        sc = lambda x: jax.device_put(x, self.data_sharding)
+    def put_batch(self, batch: Batch, loader=None):
+        """Host arrays -> device arrays sharded over the 'data' axis.
+
+        Single-process: plain async device_put.  Multi-process
+        (jax.process_count() > 1): each process materialized only its
+        contiguous row block (data/loader.py row-slice protocol);
+        jax.make_array_from_process_local_data assembles the global array
+        from the per-process blocks with zero cross-host traffic — the
+        blocks already sit where NamedSharding(P('data')) wants them.
+        """
+        loader = loader if loader is not None else self.loader
+        if jax.process_count() > 1:
+            assert loader.process_count == jax.process_count(), (
+                "loader built for a different process topology: "
+                f"{loader.process_count} != {jax.process_count()}"
+            )
+            rows = loader.local_rows(batch)
+
+            def put(x):
+                return jax.make_array_from_process_local_data(
+                    self.data_sharding,
+                    np.ascontiguousarray(x[rows]),
+                    x.shape,
+                )
+
+        else:
+            put = lambda x: jax.device_put(x, self.data_sharding)
         return (
             put(batch.wav),
-            sc(batch.wav_lens),
-            sc(batch.labels),
-            sc(batch.label_lens),
-            sc(batch.weights),
+            put(batch.wav_lens),
+            put(batch.labels),
+            put(batch.label_lens),
+            put(batch.weights),
         )
 
     def train_batch(self, batch: Batch) -> dict:
@@ -281,12 +304,24 @@ class Trainer:
     # ---------------- evaluation ----------------
 
     def greedy_wer(self, corpus, max_utts: int = 128) -> float:
-        """Greedy-decode WER on the first max_utts of a corpus."""
+        """Greedy-decode WER on the first max_utts of a corpus.
+
+        Multi-host aware (SURVEY.md §6 "all-gather for eval metrics"):
+        each process materializes and uploads only its row block of every
+        eval batch; decode runs jit'd under the global mesh (batch rows
+        sharded over 'data'); hypothesis ids and reference labels are then
+        all-gathered across processes so every host computes the identical
+        corpus WER.  Single-process this degenerates to plain sharded
+        decode with no gathers.
+        """
+        multi = jax.process_count() > 1
         refs, hyps = [], []
         eval_loader = BucketedLoader(
             _Slice(corpus, min(len(corpus), max_utts)),
             self.buckets,
             seed=0,
+            process_index=jax.process_index() if multi else 0,
+            process_count=jax.process_count() if multi else 1,
         )
         decode_fns: dict[int, callable] = {}
         for batch in eval_loader.epoch(0):
@@ -302,19 +337,40 @@ class Trainer:
                     return greedy_decode(logits, out_lens)
 
                 decode_fns[batch.bucket] = decode_fn
-            ids, lens = decode_fns[batch.bucket](
-                self.state["params"],
-                jax.device_put(batch.wav, self.data_sharding),
-                jax.device_put(batch.wav_lens, self.data_sharding),
+            wav, wav_lens, labels, label_lens, weights = self.put_batch(
+                batch, loader=eval_loader
             )
+            ids, lens = decode_fns[batch.bucket](
+                self.state["params"], wav, wav_lens
+            )
+            if multi:
+                # Global sharded arrays -> full host values on every
+                # process (the eval all-gather).
+                from jax.experimental import multihost_utils
+
+                ids, lens, labels, label_lens, weights = (
+                    multihost_utils.process_allgather(
+                        (ids, lens, labels, label_lens, weights),
+                        tiled=True,
+                    )
+                )
+                labels, label_lens, weights = (
+                    np.asarray(labels),
+                    np.asarray(label_lens),
+                    np.asarray(weights),
+                )
+            else:
+                labels, label_lens, weights = (
+                    batch.labels,
+                    batch.label_lens,
+                    batch.weights,
+                )
             ids, lens = np.asarray(ids), np.asarray(lens)
             for r in range(ids.shape[0]):
-                if batch.weights[r] == 0:
+                if weights[r] == 0:
                     continue
                 hyps.append(ids_to_text(ids[r, : lens[r]]))
-                refs.append(
-                    ids_to_text(batch.labels[r, : batch.label_lens[r]])
-                )
+                refs.append(ids_to_text(labels[r, : label_lens[r]]))
         return wer(refs, hyps)
 
 

@@ -3,9 +3,16 @@
 
 Checks:
 1. DP (8-device mesh) train step loss == single-device loss.
-2. TP (model_axis=2) forward == unsharded forward.
+2. TP (model_axis=2) forward == unsharded forward — WITH the Pallas
+   fused-attention kernel (custom_partitioning; interpret mode on CPU).
 3. Loader: global batch composition independent of process_count.
-4. dryrun_multichip(8) runs (the driver's contract).
+4. dryrun_multichip(8) runs (the driver's contract: full config-5
+   geometry, Pallas attention, TP==single equality).
+5. Beam-search decode jit'd under the sharded mesh == single-device
+   (SURVEY.md §4.5: decode under the mesh).
+
+TRUE multi-process checks (jax.process_count() > 1) live in
+tests/multiprocess_check.py.
 """
 
 import os
@@ -70,6 +77,7 @@ def check_tp_matches_unsharded():
             num_layers=2,
             hidden=64,
             num_heads=4,
+            use_pallas_attention=True,  # partitions via custom_partitioning
         ),
     )
     devs = jax.devices("cpu")
@@ -104,6 +112,33 @@ def check_loader_host_invariance():
     print("ok loader_host_invariance")
 
 
+def check_beam_under_mesh():
+    """Beam-search decode jit'd under the 8-device mesh, inputs sharded
+    over 'data', must produce the single-device prefixes/lens exactly."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neuralasr_tpu.ctc.beam import beam_search_decode
+
+    rng = np.random.default_rng(11)
+    B, T, V, W, L = 8, 40, 29, 8, 32
+    logits = jnp.asarray(rng.normal(size=(B, T, V)).astype(np.float32)) * 2.0
+    lens = jnp.asarray(rng.integers(10, T + 1, size=(B,)), jnp.int32)
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("data"))
+    fn = partial(beam_search_decode, beam_width=W, max_label_len=L)
+    pref_m, lens_m, scores_m = jax.jit(fn, in_shardings=(sh, sh))(logits, lens)
+    pref_1, lens_1, scores_1 = fn(logits, lens)
+    np.testing.assert_array_equal(np.asarray(pref_m), np.asarray(pref_1))
+    np.testing.assert_array_equal(np.asarray(lens_m), np.asarray(lens_1))
+    np.testing.assert_allclose(
+        np.asarray(scores_m), np.asarray(scores_1), rtol=1e-5
+    )
+    print("ok beam_under_mesh")
+
+
 def check_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
@@ -116,5 +151,6 @@ if __name__ == "__main__":
     check_loader_host_invariance()
     check_dp_matches_single()
     check_tp_matches_unsharded()
+    check_beam_under_mesh()
     check_dryrun()
     print("ALL-DISTRIBUTED-OK")
