@@ -139,6 +139,70 @@ def check_beam_under_mesh():
     print("ok beam_under_mesh")
 
 
+def check_resharding_restore():
+    """Checkpoint saved from a model_axis=2 trainer restores into a
+    model_axis=1 single-device trainer (and back), with identical
+    next-step losses — the 'resharding-capable' claim of
+    utils/checkpoint.py, previously untested (VERDICT.md r1 item 10)."""
+    import shutil
+    import tempfile
+
+    from neuralasr_tpu.utils.checkpoint import Checkpointer, abstract_like
+
+    devs = jax.devices("cpu")
+    base = dataclasses.replace(
+        CONFIG1,
+        num_utterances=16,
+        batch_size=8,
+        model=dataclasses.replace(
+            CONFIG1.model,
+            encoder_type="conformer",
+            num_layers=2,
+            hidden=64,
+            num_heads=4,
+            use_pallas_attention=True,
+        ),
+    )
+    tr_tp = Trainer(
+        dataclasses.replace(base, model_axis=2),
+        mesh=make_mesh(8, model_axis=2, devices=devs),
+    )
+    tr_1 = Trainer(
+        dataclasses.replace(base, model_axis=1),
+        mesh=make_mesh(1, devices=devs[:1]),
+    )
+    batch = next(
+        b for b in tr_tp.loader.epoch(0) if b.wav.shape[0] % 4 == 0
+    )
+    # One step first so opt_state carries non-trivial moments.
+    tr_tp.train_batch(batch)
+
+    d = tempfile.mkdtemp()
+    try:
+        # TP(8 devices) -> single-device restore.
+        ck = Checkpointer(os.path.join(d, "a"))
+        ck.save(tr_tp.step, tr_tp.state, {"step": tr_tp.step})
+        state, _ = ck.restore(abstract_like(tr_1.state))
+        ck.close()
+        tr_1.state, tr_1.step = state, tr_tp.step
+        loss_tp = float(tr_tp.train_batch(batch)["loss"])
+        loss_1 = float(tr_1.train_batch(batch)["loss"])
+        np.testing.assert_allclose(loss_1, loss_tp, rtol=1e-4)
+
+        # Single-device -> TP restore (the reverse resharding).
+        ck = Checkpointer(os.path.join(d, "b"))
+        ck.save(tr_1.step, tr_1.state, {"step": tr_1.step})
+        state, _ = ck.restore(abstract_like(tr_tp.state))
+        ck.close()
+        tr_tp.state, tr_tp.step = state, tr_1.step
+        loss_tp2 = float(tr_tp.train_batch(batch)["loss"])
+        loss_12 = float(tr_1.train_batch(batch)["loss"])
+        np.testing.assert_allclose(loss_tp2, loss_12, rtol=1e-4)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    print("ok resharding_restore")
+
+
 def check_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
@@ -152,5 +216,6 @@ if __name__ == "__main__":
     check_dp_matches_single()
     check_tp_matches_unsharded()
     check_beam_under_mesh()
+    check_resharding_restore()
     check_dryrun()
     print("ALL-DISTRIBUTED-OK")
