@@ -4,9 +4,12 @@
         [--gate 0.35]   # exit 1 if WER exceeds the gate
 
 Decodes the eval corpus with greedy and (optionally) beam search + n-gram
-LM shallow fusion, prints corpus WER/CER, and enforces the gate
-(BASELINE.json: "correctness gated on matching the reference repo's WER" —
-the standing oracle is the recorded config-1 run, BASELINE.md).
+LM shallow fusion via neuralasr_tpu.evaluation (decode jit'd under the
+mesh; multi-process capable with --distributed: every host decodes its
+row-slice and all-gathers, printing identical metrics), prints corpus
+WER/CER, and enforces the gate (BASELINE.json: "correctness gated on
+matching the reference repo's WER" — the standing oracle is the recorded
+config-1 run, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -16,8 +19,6 @@ import dataclasses
 import json
 import os
 import sys
-
-import numpy as np
 
 
 def main() -> None:
@@ -38,6 +39,8 @@ def main() -> None:
                    help="drop frames with blank posterior > THRESH before "
                         "beam search (arXiv 2210.17017; e.g. 0.999)")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host)")
     args = p.parse_args()
 
     if args.cpu:
@@ -45,24 +48,26 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     import jax
-    import jax.numpy as jnp
 
     from neuralasr_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.distributed:
+        jax.distributed.initialize()
+
     from neuralasr_tpu.configs import PRESETS
-    from neuralasr_tpu.training import Trainer, make_corpus, _Slice
-    from neuralasr_tpu.utils.checkpoint import Checkpointer, abstract_like
-    from neuralasr_tpu.utils.metrics import wer, cer
-    from neuralasr_tpu.ctc.beam import beam_search_decode
-    from neuralasr_tpu.ctc.greedy import greedy_decode
     from neuralasr_tpu.ctc.lm_fusion import NGramLM
-    from neuralasr_tpu.data import BucketedLoader
-    from neuralasr_tpu.text import decode as ids_to_text
+    from neuralasr_tpu.evaluation import evaluate_corpus
+    from neuralasr_tpu.training import Trainer, make_corpus
+    from neuralasr_tpu.utils.checkpoint import Checkpointer, abstract_like
 
     cfg = PRESETS[args.config]
     workdir = args.workdir or f"runs/{cfg.name}"
-    trainer = Trainer(cfg)
+    trainer = Trainer(
+        cfg,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
     ckpt = Checkpointer(os.path.join(workdir, "ckpt"))
     state, meta = ckpt.restore(abstract_like(trainer.state), step=args.step)
     if state is None:
@@ -73,13 +78,15 @@ def main() -> None:
 
     eval_corpus = make_corpus(cfg, eval_split=True)
     beam_width = args.beam if args.beam is not None else cfg.beam_width
+    if args.greedy_only:
+        beam_width = 0
 
     lm_fn, lm_weight = None, 0.0
     if args.lm_weight is not None:
         cfg = dataclasses.replace(cfg, lm_weight=args.lm_weight,
                                   lm_order=cfg.lm_order if args.lm_weight > 0
                                   else 0)
-    if cfg.lm_order > 0 and not args.greedy_only:
+    if cfg.lm_order > 0 and beam_width > 1:
         train_corpus = make_corpus(cfg)
         lm = NGramLM.train(
             (train_corpus.transcript(i) for i in range(len(train_corpus))),
@@ -87,82 +94,22 @@ def main() -> None:
         )
         lm_fn, lm_weight = lm.score_fn(), cfg.lm_weight
 
-    loader = BucketedLoader(
-        _Slice(eval_corpus, min(len(eval_corpus), args.max_utts)),
-        trainer.buckets,
-        seed=0,
+    res = evaluate_corpus(
+        trainer,
+        eval_corpus,
+        max_utts=args.max_utts,
+        beam_width=beam_width,
+        lm_fn=lm_fn,
+        lm_weight=lm_weight,
+        blank_collapse_threshold=args.blank_collapse,
     )
-    refs, hyps_g, hyps_b = [], [], []
-    fwd_fns = {}
-    for batch in loader.epoch(0):
-        if batch.bucket not in fwd_fns:
-            frontend = trainer._frontend_for(batch.bucket)
 
-            @jax.jit
-            def fwd(params, wav, wav_lens, _fe=frontend):
-                feats, feat_lens = _fe(wav, wav_lens)
-                return trainer.model.apply(
-                    {"params": params}, feats, feat_lens, train=False
-                )
-
-            fwd_fns[batch.bucket] = fwd
-        logits, out_lens = fwd_fns[batch.bucket](
-            trainer.state["params"],
-            jnp.asarray(batch.wav),
-            jnp.asarray(batch.wav_lens),
-        )
-        g_ids, g_lens = greedy_decode(logits, out_lens)
-        g_ids, g_lens = np.asarray(g_ids), np.asarray(g_lens)
-        if not args.greedy_only and beam_width > 1:
-            beam_in, beam_lens = logits, out_lens
-            if args.blank_collapse is not None:
-                from neuralasr_tpu.ctc.beam import blank_collapse
-
-                lp = jax.nn.log_softmax(logits, axis=-1)
-                beam_in, beam_lens = blank_collapse(
-                    lp, out_lens, threshold=args.blank_collapse
-                )
-                # Crop the left-compacted frames to a bucketed static length:
-                # the beam scan then runs ~compression-factor fewer steps.
-                # (Quantize to 64 so at most a handful of beam programs
-                # compile across the whole eval.)
-                T_c = int(
-                    min(
-                        beam_in.shape[1],
-                        max(64, -(-int(np.max(np.asarray(beam_lens))) // 64) * 64),
-                    )
-                )
-                beam_in = beam_in[:, :T_c]
-            b_pref, b_lens, _ = beam_search_decode(
-                beam_in,
-                beam_lens,
-                beam_width=beam_width,
-                max_label_len=int(batch.labels.shape[1]) + 8,
-                lm_fn=lm_fn,
-                lm_weight=lm_weight,
-            )
-            b_pref, b_lens = np.asarray(b_pref), np.asarray(b_lens)
-        for r in range(g_ids.shape[0]):
-            if batch.weights[r] == 0:
-                continue
-            refs.append(ids_to_text(batch.labels[r, : batch.label_lens[r]]))
-            hyps_g.append(ids_to_text(g_ids[r, : g_lens[r]]))
-            if not args.greedy_only and beam_width > 1:
-                hyps_b.append(ids_to_text(b_pref[r, 0, : b_lens[r, 0]]))
-
-    out = {
-        "config": cfg.name,
-        "step": int(step),
-        "utts": len(refs),
-        "greedy_wer": wer(refs, hyps_g),
-        "greedy_cer": cer(refs, hyps_g),
-    }
-    if hyps_b:
-        out["beam_wer"] = wer(refs, hyps_b)
-        out["beam_cer"] = cer(refs, hyps_b)
+    out = {"config": cfg.name, "step": int(step), **res.to_dict()}
+    if res.beam_wer is not None:
         out["beam_width"] = beam_width
         out["lm_weight"] = lm_weight
-    print(json.dumps(out))
+    if jax.process_index() == 0:
+        print(json.dumps(out))
 
     if args.gate is not None:
         gated = out.get("beam_wer", out["greedy_wer"])

@@ -31,9 +31,6 @@ from .parallel.mesh import (
     data_sharding,
     shard_params_by_rules,
 )
-from .text import decode as ids_to_text
-from .ctc.greedy import greedy_decode
-from .utils.metrics import wer
 
 
 def make_corpus(cfg: TrainConfig, eval_split: bool = False):
@@ -306,91 +303,10 @@ class Trainer:
     def greedy_wer(self, corpus, max_utts: int = 128) -> float:
         """Greedy-decode WER on the first max_utts of a corpus.
 
-        Multi-host aware (SURVEY.md §6 "all-gather for eval metrics"):
-        each process materializes and uploads only its row block of every
-        eval batch; decode runs jit'd under the global mesh (batch rows
-        sharded over 'data'); hypothesis ids and reference labels are then
-        all-gathered across processes so every host computes the identical
-        corpus WER.  Single-process this degenerates to plain sharded
-        decode with no gathers.
-        """
-        multi = jax.process_count() > 1
-        refs, hyps = [], []
-        eval_loader = BucketedLoader(
-            _Slice(corpus, min(len(corpus), max_utts)),
-            self.buckets,
-            seed=0,
-            process_index=jax.process_index() if multi else 0,
-            process_count=jax.process_count() if multi else 1,
-        )
-        decode_fns: dict[int, callable] = {}
-        for batch in eval_loader.epoch(0):
-            if batch.bucket not in decode_fns:
-                frontend = self._frontend_for(batch.bucket)
+        Multi-host aware: delegates to evaluation.evaluate_corpus (sharded
+        decode under the mesh + eval all-gather, SURVEY.md §6)."""
+        from .evaluation import evaluate_corpus
 
-                @jax.jit
-                def decode_fn(params, wav, wav_lens, _fe=frontend):
-                    feats, feat_lens = _fe(wav, wav_lens)
-                    logits, out_lens = self.model.apply(
-                        {"params": params}, feats, feat_lens, train=False
-                    )
-                    return greedy_decode(logits, out_lens)
-
-                decode_fns[batch.bucket] = decode_fn
-            wav, wav_lens, labels, label_lens, weights = self.put_batch(
-                batch, loader=eval_loader
-            )
-            ids, lens = decode_fns[batch.bucket](
-                self.state["params"], wav, wav_lens
-            )
-            if multi:
-                # Global sharded arrays -> full host values on every
-                # process (the eval all-gather).
-                from jax.experimental import multihost_utils
-
-                ids, lens, labels, label_lens, weights = (
-                    multihost_utils.process_allgather(
-                        (ids, lens, labels, label_lens, weights),
-                        tiled=True,
-                    )
-                )
-                labels, label_lens, weights = (
-                    np.asarray(labels),
-                    np.asarray(label_lens),
-                    np.asarray(weights),
-                )
-            else:
-                labels, label_lens, weights = (
-                    batch.labels,
-                    batch.label_lens,
-                    batch.weights,
-                )
-            ids, lens = np.asarray(ids), np.asarray(lens)
-            for r in range(ids.shape[0]):
-                if weights[r] == 0:
-                    continue
-                hyps.append(ids_to_text(ids[r, : lens[r]]))
-                refs.append(ids_to_text(labels[r, : label_lens[r]]))
-        return wer(refs, hyps)
+        return evaluate_corpus(self, corpus, max_utts=max_utts).greedy_wer
 
 
-class _Slice:
-    """First-n view of a corpus (corpus protocol passthrough)."""
-
-    def __init__(self, corpus, n: int):
-        self.corpus, self.n = corpus, n
-
-    def __len__(self):
-        return self.n
-
-    def transcript(self, i):
-        return self.corpus.transcript(i)
-
-    def waveform(self, i):
-        return self.corpus.waveform(i)
-
-    def __getitem__(self, i):
-        return self.corpus[i]
-
-    def num_samples(self, i):
-        return self.corpus.num_samples(i)

@@ -97,8 +97,19 @@ def main() -> None:
             gnorms.append(float(m["grad_norm"]))
 
     # Multi-host eval: sharded decode + all-gather; every process must
-    # compute the identical WER.
-    wer = trainer.greedy_wer(make_corpus(cfg, eval_split=True), max_utts=16)
+    # compute the identical WER.  Beam search (with blank-collapse and its
+    # static crop) also runs under the multi-process mesh.
+    from neuralasr_tpu.evaluation import evaluate_corpus
+
+    eval_corpus = make_corpus(cfg, eval_split=True)
+    wer = trainer.greedy_wer(eval_corpus, max_utts=16)
+    beam_res = evaluate_corpus(
+        trainer,
+        eval_corpus,
+        max_utts=16,
+        beam_width=4,
+        blank_collapse_threshold=0.999,
+    )
 
     # Multi-process checkpoint: all processes save collectively, restore,
     # then take one more step — the loss pins save/restore exactness.
@@ -118,6 +129,7 @@ def main() -> None:
         "losses": losses,
         "grad_norms": gnorms,
         "greedy_wer": wer,
+        "beam_wer": beam_res.beam_wer,
         "resume_loss": resume_loss,
     }
     with open(out_path, "w") as fh:

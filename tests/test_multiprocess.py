@@ -103,8 +103,9 @@ def _assert_parity(single: dict, workers: list[dict], nproc: int):
             w["resume_loss"], single["resume_loss"], rtol=1e-5
         )
         # Eval all-gather: every process computes the same corpus WER,
-        # equal to the single-process value.
+        # equal to the single-process value — greedy AND beam(+collapse).
         assert w["greedy_wer"] == pytest.approx(single["greedy_wer"], abs=1e-9)
+        assert w["beam_wer"] == pytest.approx(single["beam_wer"], abs=1e-9)
     assert len(single["losses"]) >= 4  # the run actually trained
 
 
