@@ -34,6 +34,14 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true", help="force XLA:CPU")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host pods)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="explicit coordinator for --distributed (TPU pods "
+                        "autodetect; CPU multi-process needs it)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--cpu-devices", type=int, default=None,
+                   help="fake CPU devices per process (CPU multi-process "
+                        "testing; enables gloo collectives)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="greedy-WER eval every N epochs (0 = only at end)")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -52,8 +60,18 @@ def main() -> None:
     from neuralasr_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.cpu_devices:
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if args.distributed:
-        jax.distributed.initialize()
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 

@@ -119,6 +119,49 @@ def test_two_process_parity(tmp_path, single_run):
     _assert_parity(single_run, workers, nproc=2)
 
 
+def test_train_cli_distributed_two_process(tmp_path):
+    """The actual `train.py --distributed` CLI under a real 2-process group:
+    per-process metrics logs, collective checkpointing, final eval — the
+    exact command a pod launcher runs, minus the pod."""
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    common = [
+        sys.executable, os.path.join(repo, "train.py"),
+        "--config", "tiny", "--num-utterances", "24", "--batch-size", "16",
+        "--epochs", "1", "--workdir", str(tmp_path),
+        "--distributed", "--coordinator", f"localhost:{port}",
+        "--num-processes", "2", "--cpu-devices", "2",
+    ]
+    procs = [
+        subprocess.Popen(
+            common + ["--process-id", str(i)],
+            env=_clean_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, cwd=repo,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=600))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+    for p, (stdout, stderr) in zip(procs, outs):
+        assert p.returncode == 0, f"{stdout}\n{stderr[-3000:]}"
+    # Both processes logged metrics and agree on the final eval WER.
+    finals = []
+    for i in range(2):
+        lines = (tmp_path / f"metrics.{i}.jsonl").read_text().splitlines()
+        last = json.loads(lines[-1])
+        assert last.get("final")
+        finals.append(last["eval_greedy_wer"])
+    assert finals[0] == finals[1]
+    # The collectively-written checkpoint exists.
+    assert (tmp_path / "ckpt").is_dir() and any((tmp_path / "ckpt").iterdir())
+
+
 def test_four_process_parity(tmp_path, single_run):
     workers = _run_workers(tmp_path, nproc=4, ndev=1)
     _assert_parity(single_run, workers, nproc=4)
