@@ -265,6 +265,50 @@ def main() -> None:
     )
     beam_tp = audio_s / dt_b
 
+    # Trained CTC models emit ~60-80% confident-blank frames, which is what
+    # blank-collapse exploits; this bench's model is untrained (uniform
+    # posteriors), so the path above measures the no-collapse worst case.
+    # Simulate trained-regime emission statistics (75% high-blank frames)
+    # to measure the collapsed-scan throughput the eval path actually sees.
+    lp_once, lens_once = posteriors(trainer.state["params"], wj, wl)
+    T_full = lp_once.shape[1]
+    rngb = np.random.default_rng(1)
+    blank_rows = rngb.random((B, T_full)) < 0.75
+    boost = jnp.where(jnp.asarray(blank_rows), 12.0, 0.0)
+
+    @jax.jit
+    def blankdom_posteriors(params, wav, wav_lens):
+        feats, feat_lens = frontend(wav, wav_lens)
+        logits, out_lens = trainer.model.apply(
+            {"params": params}, feats, feat_lens, train=False
+        )
+        logits = logits.astype(jnp.float32).at[:, :, 0].add(boost)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return blank_collapse(lp, out_lens, threshold=0.999)
+
+    lp_c2, lens_c2 = blankdom_posteriors(trainer.state["params"], wj, wl)
+    T_c2 = int(
+        min(
+            lp_c2.shape[1],
+            max(64, -(-int(np.max(np.asarray(lens_c2))) // 64) * 64),
+        )
+    )
+
+    @jax.jit
+    def beam_step_collapsed(params, wav, wav_lens):
+        lp, lens = blankdom_posteriors(params, wav, wav_lens)
+        return beam_search_decode(
+            lp[:, :T_c2], lens, beam_width=16, max_label_len=max_label
+        )
+
+    jax.block_until_ready(beam_step_collapsed(trainer.state["params"], wj, wl))
+    dt_bc = _timeit(
+        lambda: beam_step_collapsed(trainer.state["params"], wj, wl),
+        iters,
+        jax.block_until_ready,
+    )
+    beam_collapsed_tp = audio_s / dt_bc
+
     # ---------------- per-stage roofline breakdown ----------------
     breakdown = {}
     if args.breakdown:
@@ -347,6 +391,8 @@ def main() -> None:
         ),
         "decode_audio_s_per_s_per_chip": round(decode_tp, 2),
         "beam16_audio_s_per_s_per_chip": round(beam_tp, 2),
+        "beam16_collapsed_audio_s_per_s_per_chip": round(beam_collapsed_tp, 2),
+        "beam16_collapsed_frames_kept": round(T_c2 / T_full, 3),
         "pipeline_audio_s_per_s_prefetched": round(pipeline_tp, 2),
         "backend": jax.default_backend(),
         "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
