@@ -38,6 +38,11 @@ def main() -> None:
                    metavar="THRESH",
                    help="drop frames with blank posterior > THRESH before "
                         "beam search (arXiv 2210.17017; e.g. 0.999)")
+    p.add_argument("--eval-noise", type=float, default=None,
+                   help="override the eval split's additive-noise floor "
+                        "(preset eval_noise_level; train noise is 0.05)")
+    p.add_argument("--eval-shift", type=float, default=None, metavar="HZ",
+                   help="override the eval split's formant shift in Hz")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
@@ -62,6 +67,10 @@ def main() -> None:
     from neuralasr_tpu.utils.checkpoint import Checkpointer, abstract_like
 
     cfg = PRESETS[args.config]
+    if args.eval_noise is not None:
+        cfg = dataclasses.replace(cfg, eval_noise_level=args.eval_noise)
+    if args.eval_shift is not None:
+        cfg = dataclasses.replace(cfg, eval_formant_shift_hz=args.eval_shift)
     workdir = args.workdir or f"runs/{cfg.name}"
     trainer = Trainer(
         cfg,
@@ -104,7 +113,13 @@ def main() -> None:
         blank_collapse_threshold=args.blank_collapse,
     )
 
-    out = {"config": cfg.name, "step": int(step), **res.to_dict()}
+    out = {
+        "config": cfg.name,
+        "step": int(step),
+        "eval_noise": cfg.eval_noise_level,
+        "eval_shift_hz": cfg.eval_formant_shift_hz,
+        **res.to_dict(),
+    }
     if res.beam_wer is not None:
         out["beam_width"] = beam_width
         out["lm_weight"] = lm_weight

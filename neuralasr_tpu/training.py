@@ -180,9 +180,12 @@ class Trainer:
             )
         return self._frontends[bucket]
 
-    def _loss_fn(self, params, feats, feat_lens, labels, label_lens, weights):
+    def _loss_fn(
+        self, params, rng, feats, feat_lens, labels, label_lens, weights
+    ):
+        rngs = {"dropout": rng} if self.cfg.model.dropout > 0 else None
         logits, out_lens = self.model.apply(
-            {"params": params}, feats, feat_lens, train=True
+            {"params": params}, feats, feat_lens, train=True, rngs=rngs
         )
         per = ctc_loss(logits, labels, out_lens, label_lens)
         # Infeasible rows (out_len < label_len after subsampling) and
@@ -210,10 +213,11 @@ class Trainer:
             out_shardings=(state_sh, scalar_sh, scalar_sh),
         )
         def train_step(state, rng, wav, wav_lens, labels, label_lens, weights):
+            rng_sa, rng_do = jax.random.split(rng)
             feats, feat_lens = frontend(wav, wav_lens)
             if cfg.specaugment:
                 feats = specaugment(
-                    rng,
+                    rng_sa,
                     feats,
                     feat_lens,
                     freq_mask=cfg.freq_mask,
@@ -224,7 +228,10 @@ class Trainer:
                 )
             (loss, _aux), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True
-            )(state["params"], feats, feat_lens, labels, label_lens, weights)
+            )(
+                state["params"], rng_do, feats, feat_lens, labels,
+                label_lens, weights,
+            )
             gnorm = optax.global_norm(grads)
             updates, opt_state = self.optimizer.update(
                 grads, state["opt_state"], state["params"]

@@ -127,3 +127,32 @@ def test_deep_conformer_overfits_toy_batch():
     for _ in range(150):
         params, opt_state, loss = step(params, opt_state)
     assert float(loss) < 2.0, f"deep conformer stuck at loss {float(loss):.2f}"
+
+
+def test_dropout_enabled_trains():
+    """dropout > 0 needs the 'dropout' rng plumbed into model.apply —
+    regression test for the missing-rng crash."""
+    import dataclasses
+
+    import numpy as np
+
+    from neuralasr_tpu.configs import CONFIG1
+    from neuralasr_tpu.training import Trainer
+
+    cfg = dataclasses.replace(
+        CONFIG1,
+        num_utterances=16,
+        batch_size=8,
+        model=dataclasses.replace(
+            CONFIG1.model,
+            encoder_type="conformer",
+            num_layers=1,
+            hidden=64,
+            num_heads=4,
+            dropout=0.1,
+        ),
+    )
+    tr = Trainer(cfg)
+    batch = next(iter(tr.loader.epoch(0)))
+    m = tr.train_batch(batch)
+    assert np.isfinite(float(m["loss"]))
