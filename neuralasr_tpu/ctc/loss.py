@@ -100,7 +100,7 @@ def ctc_forward(
         return jnp.where(active, new, alpha), None
 
     ts = jnp.arange(1, T)
-    alpha_T, _ = jax.lax.scan(step, alpha0, (em[1:], ts))
+    alpha_T, _ = jax.lax.scan(step, alpha0, (em[1:], ts), unroll=4)
 
     # Final states: s = 2*label_len (trailing blank) and 2*label_len - 1
     # (last label).  Gather per row.
@@ -179,7 +179,9 @@ def _alpha_scan(em, input_lens, allow_skip, state_valid, label_lens):
         return new, new
 
     ts = jnp.arange(1, T)
-    alpha_T, alphas_rest = jax.lax.scan(step, alpha0, (em[1:], ts))
+    alpha_T, alphas_rest = jax.lax.scan(
+        step, alpha0, (em[1:], ts), unroll=4
+    )
     alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
 
     last = (2 * label_lens).astype(jnp.int32)
@@ -230,7 +232,7 @@ def _beta_scan(em, input_lens, allow_skip, state_valid, label_lens):
     # em indexed at t+1 when scanning t = T-2..0.
     em_rev = em[1:][::-1]
     beta_init = fin
-    _, betas_rev = jax.lax.scan(step, beta_init, (em_rev, ts))
+    _, betas_rev = jax.lax.scan(step, beta_init, (em_rev, ts), unroll=4)
     betas = jnp.concatenate([betas_rev[::-1], beta_init[None]], axis=0)
     return betas
 

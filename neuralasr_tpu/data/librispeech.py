@@ -78,6 +78,19 @@ class LibriSpeechCorpus:
         return self.waveform(index), self.transcript(index)
 
     def num_samples(self, index: int) -> int:
+        """Sample count without decoding audio where possible: the loader
+        calls this for EVERY utterance at init (bucketing pass), so .wav
+        lengths come from the RIFF header alone."""
         if index not in self._len_cache:
+            path = self._utts[index][0]
+            if path.endswith(".wav"):
+                import wave
+
+                try:
+                    with wave.open(path, "rb") as w:
+                        self._len_cache[index] = w.getnframes()
+                    return self._len_cache[index]
+                except wave.Error:
+                    pass  # unusual encoding: fall through to full decode
             self._len_cache[index] = len(self.waveform(index))
         return self._len_cache[index]
