@@ -72,6 +72,11 @@ class FeatureConfig:
     preemph: float = 0.97
     cmvn: bool = True
     use_pallas: bool = False  # fused VMEM kernel (ops/pallas_frontend.py)
+    # "gather": materialize [B, T, frame_len] frames then matmul the DFT.
+    # "conv": framing+window+DFT as ONE strided convolution (filters =
+    # windowed DFT basis, stride = hop) — no [B, T, frame_len] intermediate
+    # ever reaches HBM; XLA lowers the conv onto the MXU directly.
+    frontend_impl: str = "gather"
 
     @property
     def dim(self) -> int:
@@ -116,6 +121,17 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
         + cfg.hop * np.arange(max_frames)[:, None]
     )  # [max_frames, frame_len]
 
+    def _postprocess(feats, feat_lens):
+        if cfg.cmvn:
+            t_idx = jnp.arange(max_frames)[None, :, None]
+            mask = (t_idx < feat_lens[:, None, None]).astype(feats.dtype)
+            cnt = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+            mean = (feats * mask).sum(axis=1, keepdims=True) / cnt
+            var = ((feats - mean) ** 2 * mask).sum(axis=1, keepdims=True) / cnt
+            feats = (feats - mean) * jax.lax.rsqrt(var + 1e-8)
+            feats = feats * mask
+        return feats, feat_lens
+
     @jax.jit
     def frontend(wav: jnp.ndarray, wav_lens: jnp.ndarray):
         wav = wav.astype(jnp.float32)  # int16 PCM wire format -> f32 on device
@@ -124,6 +140,30 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
         shifted = jnp.concatenate([wav[:, :1] * 0, wav[:, :-1]], axis=1)
         y = wav - cfg.preemph * shifted
         y = y.at[:, 0].set(wav[:, 0])
+
+        if cfg.frontend_impl == "conv" and not cfg.use_pallas:
+            # Framing + window + rDFT as a strided conv: out[b, k, t] =
+            # sum_n y[b, t*hop + n] * wdft[n, k].  Exactly the gather+matmul
+            # result, but the [B, T, frame_len] frames tensor never exists.
+            wdft = jnp.concatenate([wC, wS], axis=1)  # [frame_len, 2K]
+            kern = wdft.T[:, None, :]  # [2K, 1, frame_len] (OIW)
+            usable = cfg.frame_len + cfg.hop * (max_frames - 1)
+            out = jax.lax.conv_general_dilated(
+                y[:, None, :usable],  # [B, 1, N'] (NCW)
+                kern,
+                window_strides=(cfg.hop,),
+                padding="VALID",
+            )  # [B, 2K, T]
+            out = jnp.transpose(out, (0, 2, 1))  # [B, T, 2K]
+            K = cfg.n_fft // 2 + 1
+            re, im = out[..., :K], out[..., K:]
+            pspec = (re * re + im * im) / cfg.n_fft
+            logmel = jnp.log(jnp.maximum(pspec @ fb, LOG_FLOOR))
+            feats = logmel @ dct if cfg.feature_type == "mfcc" else logmel
+            feat_lens = num_frames(wav_lens, cfg.frame_len, cfg.hop).astype(
+                jnp.int32
+            )
+            return _postprocess(feats, feat_lens)
 
         frames = y[:, frame_idx]  # [B, T, frame_len] gather
         if cfg.use_pallas:
@@ -149,14 +189,6 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
         feat_lens = num_frames(wav_lens, cfg.frame_len, cfg.hop).astype(
             jnp.int32
         )
-        if cfg.cmvn:
-            t_idx = jnp.arange(max_frames)[None, :, None]
-            mask = (t_idx < feat_lens[:, None, None]).astype(feats.dtype)
-            cnt = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
-            mean = (feats * mask).sum(axis=1, keepdims=True) / cnt
-            var = ((feats - mean) ** 2 * mask).sum(axis=1, keepdims=True) / cnt
-            feats = (feats - mean) * jax.lax.rsqrt(var + 1e-8)
-            feats = feats * mask
-        return feats, feat_lens
+        return _postprocess(feats, feat_lens)
 
     return frontend

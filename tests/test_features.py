@@ -153,3 +153,37 @@ def test_pallas_frontend_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+
+def test_conv_frontend_matches_gather():
+    """frontend_impl='conv' (framing+window+DFT as one strided conv) must
+    equal the gather+matmul path bit-for-bit-ish on both feature types."""
+    rng = np.random.default_rng(7)
+    n1, n2 = 7000, 4500
+    N = 8000
+    batch = np.zeros((2, N), dtype=np.float32)
+    batch[0, :n1] = _wav(rng, n1)
+    batch[1, :n2] = _wav(rng, n2)
+    T = oracle.num_frames(N)
+    for ftype, n_mels in (("mfcc", 26), ("logmel", 80)):
+        for cmvn in (False, True):
+            cfg_g = FeatureConfig(feature_type=ftype, n_mels=n_mels, cmvn=cmvn)
+            cfg_c = FeatureConfig(
+                feature_type=ftype, n_mels=n_mels, cmvn=cmvn,
+                frontend_impl="conv",
+            )
+            fg = make_frontend(cfg_g, max_frames=T)
+            fc = make_frontend(cfg_c, max_frames=T)
+            a, la = fg(jnp.asarray(batch), jnp.asarray([n1, n2]))
+            b, lb = fc(jnp.asarray(batch), jnp.asarray([n1, n2]))
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+            # Compare within true lengths only: frames over pure zero
+            # padding sit at the log floor, where ~1e-30-scale conv-vs-
+            # matmul float noise flips log(max(p, FLOOR)) discontinuously.
+            for r, ln in enumerate(np.asarray(la)):
+                np.testing.assert_allclose(
+                    np.asarray(a)[r, :ln],
+                    np.asarray(b)[r, :ln],
+                    rtol=1e-3,
+                    atol=1e-3,
+                )
