@@ -132,6 +132,10 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", required=True)
     p.add_argument("--shard-size", type=int, default=512)
+    p.add_argument("--dtype", default="float32", choices=["float32", "int16"],
+                   help="int16 halves shard bytes; lossless whenever the "
+                        "consumer quantizes to PCM16 (the training loader "
+                        "does)")
     args = p.parse_args()
 
     if args.corpus == "synthetic":
@@ -140,7 +144,12 @@ def main() -> None:
         from .librispeech import LibriSpeechCorpus
 
         corpus = LibriSpeechCorpus(args.corpus, args.split)
-    m = write_shards(corpus, args.out, args.shard_size)
+    m = write_shards(
+        corpus,
+        args.out,
+        args.shard_size,
+        dtype=np.int16 if args.dtype == "int16" else np.float32,
+    )
     total_s = sum(s["audio_samples"] for s in m["shards"]) / 16000
     print(
         f"[prepare] wrote {m['num_utterances']} utterances "

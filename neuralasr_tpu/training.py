@@ -257,6 +257,15 @@ class Trainer:
         blocks already sit where NamedSharding(P('data')) wants them.
         """
         loader = loader if loader is not None else self.loader
+        data_size = self.mesh.shape["data"]
+        if batch.wav.shape[0] % data_size != 0:
+            raise ValueError(
+                f"batch of {batch.wav.shape[0]} rows cannot shard over "
+                f"data axis of size {data_size}; size bucket batch sizes "
+                "as multiples of the data-parallel degree "
+                "(data/buckets.py halves batch size down the ladder — "
+                "raise the config batch_size or shrink the mesh)"
+            )
         if jax.process_count() > 1:
             assert loader.process_count == jax.process_count(), (
                 "loader built for a different process topology: "
