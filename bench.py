@@ -86,12 +86,16 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32, help="bench batch size")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    p.add_argument("--pallas-frontend", action="store_true", default=True)
-    p.add_argument("--no-pallas-frontend", dest="pallas_frontend",
-                   action="store_false")
+    p.add_argument("--frontend", default="pallas",
+                   choices=["pallas", "gather", "conv"],
+                   help="frontend implementation: fused Pallas kernel, "
+                        "gather+DFT-matmul, or strided-conv DFT")
     p.add_argument("--pallas-attention", action="store_true", default=None)
     p.add_argument("--no-pallas-attention", dest="pallas_attention",
                    action="store_false")
+    p.add_argument("--partition-attention", action="store_true",
+                   help="force the custom_partitioning wrapper even on one "
+                        "device (A/B the partitioning boundary's cost)")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--model", default="conformer12x384",
                    choices=["conformer12x384", "bilstm4x512"],
@@ -129,11 +133,24 @@ def main() -> None:
         specaugment=True,
         cache_dir="",
         features=dataclasses.replace(
-            base.features, use_pallas=args.pallas_frontend and on_tpu
+            base.features,
+            use_pallas=args.frontend == "pallas" and on_tpu,
+            frontend_impl="conv" if args.frontend == "conv" else "gather",
         ),
         model=dataclasses.replace(base.model, **model_over),
     )
     trainer = Trainer(cfg)
+    if args.partition_attention and trainer.mesh.size == 1:
+        # Undo the Trainer's single-device downgrade for the A/B.
+        trainer.cfg = dataclasses.replace(
+            trainer.cfg,
+            model=dataclasses.replace(
+                trainer.cfg.model, partition_attention=True
+            ),
+        )
+        from neuralasr_tpu.models.encoder import CTCModel
+
+        trainer.model = CTCModel(trainer.cfg.model)
     sr = cfg.features.sample_rate
 
     # Fixed synthetic batch in the 8 s bucket (index by max_samples).

@@ -75,6 +75,9 @@ class MHSA(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_pallas: bool = False
+    # partition=False uses the bare Pallas call (single-device; no
+    # custom-call partitioning boundary); True is required under meshes.
+    partition: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -90,9 +93,13 @@ class MHSA(nn.Module):
         v = v.reshape(B, T, H, Dh)
 
         if self.use_pallas:
-            from ..ops.pallas_attention import flash_attention
+            from ..ops.pallas_attention import (
+                flash_attention,
+                flash_attention_local,
+            )
 
-            out = flash_attention(q, k, v, mask_b_t)
+            attn_fn = flash_attention if self.partition else flash_attention_local
+            out = attn_fn(q, k, v, mask_b_t)
         else:
             scale = 1.0 / jnp.sqrt(Dh).astype(q.dtype)
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
@@ -140,6 +147,7 @@ class ConformerBlock(nn.Module):
     conv_kernel: int = 15
     dropout: float = 0.0
     use_pallas_attention: bool = False
+    partition_attention: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -152,6 +160,7 @@ class ConformerBlock(nn.Module):
             self.num_heads,
             self.dropout,
             self.use_pallas_attention,
+            self.partition_attention,
             self.dtype,
             name="mhsa",
         )(x, mask_b_t, train)
@@ -172,6 +181,7 @@ class ConformerEncoder(nn.Module):
     conv_kernel: int = 15
     dropout: float = 0.0
     use_pallas_attention: bool = False
+    partition_attention: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -188,6 +198,7 @@ class ConformerEncoder(nn.Module):
                 self.conv_kernel,
                 self.dropout,
                 self.use_pallas_attention,
+                self.partition_attention,
                 self.dtype,
                 name=f"block_{i}",
             )(x, mask_b_t, train)

@@ -35,6 +35,9 @@ class ModelConfig:
     conv_kernel: int = 15
     dropout: float = 0.0
     use_pallas_attention: bool = False
+    # False drops the custom_partitioning boundary around the attention
+    # kernel (single-device only; Trainer clears it on 1-device meshes).
+    partition_attention: bool = True
     dtype: Any = jnp.float32
     # LSTM recurrence unroll: higher amortizes loop overhead but multiplies
     # XLA compile time of every (bucket) program; 8 ~ throughput plateau.
@@ -82,6 +85,7 @@ class CTCModel(nn.Module):
                 conv_kernel=cfg.conv_kernel,
                 dropout=cfg.dropout,
                 use_pallas_attention=cfg.use_pallas_attention,
+                partition_attention=cfg.partition_attention,
                 dtype=cfg.dtype,
                 name="encoder",
             )(h, lens, train=train)

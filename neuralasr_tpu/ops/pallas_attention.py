@@ -180,9 +180,24 @@ _forward_partitioned.def_partition(
 
 @jax.custom_vjp
 def flash_attention(q, k, v, mask_or_lens):
-    """q,k,v [B,T,H,D]; mask_or_lens: either lens [B] int or mask [B,T] bool."""
+    """q,k,v [B,T,H,D]; mask_or_lens: either lens [B] int or mask [B,T] bool.
+
+    GSPMD-partitionable: safe under any ('data','model') sharding.
+    """
     lens = _as_lens(mask_or_lens)
     return _forward_partitioned(q, k, v, lens)
+
+
+@jax.custom_vjp
+def flash_attention_local(q, k, v, mask_or_lens):
+    """Single-device variant: the bare Pallas call without the
+    custom_partitioning custom-call boundary (an opaque boundary can block
+    XLA fusion around the kernel on one chip, where partitioning buys
+    nothing).  Numerically identical to flash_attention; NOT safe under a
+    sharded mesh.
+    """
+    lens = _as_lens(mask_or_lens)
+    return _forward(q, k, v, lens)
 
 
 def _as_lens(mask_or_lens):
@@ -194,6 +209,21 @@ def _as_lens(mask_or_lens):
 def _fwd(q, k, v, mask_or_lens):
     lens = _as_lens(mask_or_lens)
     return _forward_partitioned(q, k, v, lens), (q, k, v, lens)
+
+
+def _fwd_local(q, k, v, mask_or_lens):
+    lens = _as_lens(mask_or_lens)
+    return _forward(q, k, v, lens), (q, k, v, lens)
+
+
+def _bwd_local(res, g):
+    q, k, v, lens = res
+    if _bwd_fits_vmem(q.shape[1], q.shape[3]):
+        dq, dk, dv = _backward_pallas(q, k, v, lens, g)
+        return dq, dk, dv, None
+    _, vjp = jax.vjp(lambda q, k, v: _attention_ref(q, k, v, lens), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
 
 
 def _bwd_kernel(len_ref, q_ref, k_ref, v_ref, do_ref,
@@ -330,3 +360,4 @@ def _bwd(res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+flash_attention_local.defvjp(_fwd_local, _bwd_local)

@@ -119,6 +119,16 @@ class Trainer:
     ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(model_axis=cfg.model_axis)
+        if self.mesh.size == 1 and cfg.model.partition_attention:
+            # One device: partitioning buys nothing and its custom-call
+            # boundary can block fusion around the attention kernel.
+            cfg = dataclasses.replace(
+                cfg,
+                model=dataclasses.replace(
+                    cfg.model, partition_attention=False
+                ),
+            )
+            self.cfg = cfg
         self.model = CTCModel(cfg.model)
         self.corpus = make_corpus(cfg)
         self.buckets = default_buckets(cfg.batch_size)
