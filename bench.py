@@ -102,6 +102,9 @@ def main() -> None:
                    help="flagship Conformer (config 5) or the config-2 BiLSTM")
     p.add_argument("--scan-unroll", type=int, default=None,
                    help="override LSTM scan unroll (bilstm model only)")
+    p.add_argument("--frame-stack", type=int, default=None,
+                   help="stack k frames before the BiLSTM (k x fewer "
+                        "recurrence steps; bilstm model only)")
     p.add_argument("--breakdown", action="store_true", default=True,
                    help="per-stage roofline breakdown (default on)")
     p.add_argument("--no-breakdown", dest="breakdown", action="store_false")
@@ -120,6 +123,8 @@ def main() -> None:
         )
         if args.scan_unroll is not None:
             model_over["scan_unroll"] = args.scan_unroll
+        if args.frame_stack is not None:
+            model_over["frame_stack"] = args.frame_stack
     else:
         base = CONFIG5
         model_over = dict(

@@ -42,9 +42,19 @@ class ModelConfig:
     # LSTM recurrence unroll: higher amortizes loop overhead but multiplies
     # XLA compile time of every (bucket) program; 8 ~ throughput plateau.
     scan_unroll: int = 8
+    # Stack k consecutive frames ([B,T,F] -> [B,ceil(T/k),F*k]) before a
+    # BiLSTM encoder: k x fewer sequential recurrence steps at the price of
+    # a k x wider input matmul (Sak et al. 2015, PAPERS.md "Fast and
+    # Accurate RNN Acoustic Models": frame stacking + reduced frame rate).
+    # Ignored when conv_subsample already reduces the rate.
+    frame_stack: int = 1
 
     def output_lens(self, feat_lens):
-        return subsampled_len(feat_lens) if self.conv_subsample else feat_lens
+        if self.conv_subsample:
+            return subsampled_len(feat_lens)
+        if self.frame_stack > 1:
+            return (feat_lens + self.frame_stack - 1) // self.frame_stack
+        return feat_lens
 
 
 class CTCModel(nn.Module):
@@ -67,6 +77,14 @@ class CTCModel(nn.Module):
                 name="subsample",
             )(h, lens)
         if cfg.encoder_type == "bilstm":
+            if cfg.frame_stack > 1 and not cfg.conv_subsample:
+                k = cfg.frame_stack
+                B, T, F = h.shape
+                pad = (-T) % k
+                if pad:
+                    h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+                h = h.reshape(B, (T + pad) // k, F * k)
+                lens = (lens + k - 1) // k
             h = BiLSTMEncoder(
                 num_layers=cfg.num_layers,
                 hidden=cfg.hidden,

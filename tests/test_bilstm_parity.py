@@ -72,3 +72,38 @@ def test_bilstm_encoder_matches_oracle_with_padding():
         )
         # Padded positions are zeroed.
         assert np.all(out[r, lens[r]:] == 0.0)
+
+
+def test_frame_stack_trains_and_lengths():
+    """frame_stack=3: 3x fewer recurrence steps; lengths = ceil(T/3); the
+    stacked model still overfits a batch (Sak et al. 2015 frame stacking)."""
+    import dataclasses
+
+    import numpy as np
+
+    from neuralasr_tpu.configs import CONFIG1
+    from neuralasr_tpu.training import Trainer
+
+    cfg = dataclasses.replace(
+        CONFIG1,
+        num_utterances=16,
+        batch_size=8,
+        warmup_steps=2,
+        lr=3e-3,
+        model=dataclasses.replace(
+            CONFIG1.model, num_layers=1, hidden=128, frame_stack=3
+        ),
+    )
+    tr = Trainer(cfg)
+    batch = next(iter(tr.loader.epoch(0)))
+    first = None
+    for _ in range(30):
+        m = tr.train_batch(batch)
+        if first is None:
+            first = float(m["loss"])
+    last = float(m["loss"])
+    assert np.isfinite(last) and last < 0.5 * first, (first, last)
+    # Length contract: ceil(feat_lens / 3).
+    lens = np.asarray([1, 2, 3, 4, 301])
+    got = cfg.model.output_lens(lens)
+    np.testing.assert_array_equal(got, [1, 1, 1, 2, 101])
