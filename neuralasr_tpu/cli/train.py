@@ -30,6 +30,9 @@ def main() -> None:
                    help="override the preset's SpecAugment switch (masking "
                         "random-text synthetic data is unlearnable — masked "
                         "chars have no contextual redundancy)")
+    p.add_argument("--frame-stack", type=int, default=None,
+                   help="stack k frames before a BiLSTM encoder (k x fewer "
+                        "recurrence steps; see models/encoder.py)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force XLA:CPU")
     p.add_argument("--distributed", action="store_true",
@@ -98,6 +101,10 @@ def main() -> None:
         if v is not None
     }
     cfg = dataclasses.replace(cfg, **overrides)
+    if args.frame_stack is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, frame_stack=args.frame_stack)
+        )
 
     workdir = args.workdir or f"runs/{cfg.name}"
     os.makedirs(workdir, exist_ok=True)
