@@ -1,0 +1,59 @@
+"""Run several bench.py variants in ONE process (one axon chip claim) and
+append their JSON lines to runs/bench_suite.jsonl.
+
+Variants: flagship default; partitioned-attention A/B; frontend
+gather/conv A/B; BiLSTM path (plain / unroll 16 / frame-stack 3); batch 64.
+"""
+
+import contextlib
+import io
+import json
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+import bench
+
+
+VARIANTS = [
+    ("conformer_default", []),
+    ("conformer_partitioned_attn", ["--partition-attention"]),
+    ("conformer_frontend_gather", ["--frontend", "gather"]),
+    ("conformer_frontend_conv", ["--frontend", "conv"]),
+    ("conformer_batch64", ["--batch", "64"]),
+    ("bilstm_default", ["--model", "bilstm4x512", "--no-breakdown"]),
+    ("bilstm_unroll16", ["--model", "bilstm4x512", "--scan-unroll", "16",
+                         "--no-breakdown"]),
+    ("bilstm_framestack3", ["--model", "bilstm4x512", "--frame-stack", "3",
+                            "--no-breakdown"]),
+]
+
+
+def main():
+    out_path = "runs/bench_suite.jsonl"
+    for name, argv in VARIANTS:
+        print(f"== bench variant: {name}", flush=True)
+        old = sys.argv
+        sys.argv = ["bench.py"] + argv
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                bench.main()
+            line = buf.getvalue().strip().splitlines()[-1]
+            rec = json.loads(line)
+            rec["variant"] = name
+        except Exception:
+            rec = {"variant": name, "error": traceback.format_exc()[-500:]}
+        finally:
+            sys.argv = old
+        with open(out_path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(json.dumps({k: rec.get(k) for k in
+                          ("variant", "value", "mfu", "train_step_ms",
+                           "decode_audio_s_per_s_per_chip", "error")}),
+              flush=True)
+    print("BENCH-SUITE-DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
