@@ -17,7 +17,7 @@ data-dependent control flow.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import numpy as np
 import jax

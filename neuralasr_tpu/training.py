@@ -11,7 +11,6 @@ update on device.  Distribution is pure GSPMD: batch rows shard over the
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
 
 import jax
