@@ -134,6 +134,7 @@ def main() -> None:
     t_start = time.time()
     t_window, audio_acc = t_start, 0.0
     profiling = False
+    session_steps = 0  # steps taken THIS session (resume-safe profiling)
     sample_rate = cfg.features.sample_rate
     for epoch in range(start_epoch, cfg.epochs):
         # Materialization + H2D run on a prefetch thread, double-buffered:
@@ -141,42 +142,50 @@ def main() -> None:
         prefetch = DevicePrefetcher(
             trainer.loader.epoch(epoch, start_batch), trainer.put_batch
         )
-        for batch, dev_args in prefetch:
-            if args.profile and trainer.step == 10 and not profiling:
-                jax.profiler.start_trace(args.profile)
-                profiling = True
-            loss, gnorm = trainer.train_batch_device(batch.bucket, dev_args)
-            m = {
-                "loss": loss,
-                "grad_norm": gnorm,
-                "audio_s": float(batch.wav_lens.sum()) / sample_rate,
-            }
-            if profiling and trainer.step >= 20:
-                jax.profiler.stop_trace()
-                profiling = False
-                print(f"[train] profiler trace written to {args.profile}")
-            # Steps dispatch asynchronously; sync (float()) only at the
-            # logging cadence so H2D transfers overlap compute.
-            audio_acc += m["audio_s"]
-            if trainer.step % cfg.log_every == 0 or trainer.step == 1:
-                now = time.time()
-                logger.log(
-                    step=trainer.step,
-                    epoch=epoch,
-                    bucket=batch.bucket,
-                    loss=float(m["loss"]),
-                    grad_norm=float(m["grad_norm"]),
-                    audio_s=m["audio_s"],
-                    audio_s_per_s=audio_acc / max(now - t_window, 1e-9),
+        try:
+            for batch, dev_args in prefetch:
+                if args.profile and session_steps == 10 and not profiling:
+                    jax.profiler.start_trace(args.profile)
+                    profiling = True
+                loss, gnorm = trainer.train_batch_device(
+                    batch.bucket, dev_args
                 )
-                t_window, audio_acc = time.time(), 0.0
-            if trainer.step % cfg.ckpt_every == 0:
-                ckpt.save(
-                    trainer.step,
-                    trainer.state,
-                    {"step": trainer.step, "epoch": epoch,
-                     "batch_index": batch.index, "config": cfg.to_json()},
-                )
+                session_steps += 1
+                m = {
+                    "loss": loss,
+                    "grad_norm": gnorm,
+                    "audio_s": float(batch.wav_lens.sum()) / sample_rate,
+                }
+                if profiling and session_steps >= 20:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"[train] profiler trace written to {args.profile}")
+                # Steps dispatch asynchronously; sync (float()) only at the
+                # logging cadence so H2D transfers overlap compute.
+                audio_acc += m["audio_s"]
+                if trainer.step % cfg.log_every == 0 or trainer.step == 1:
+                    now = time.time()
+                    logger.log(
+                        step=trainer.step,
+                        epoch=epoch,
+                        bucket=batch.bucket,
+                        loss=float(m["loss"]),
+                        grad_norm=float(m["grad_norm"]),
+                        audio_s=m["audio_s"],
+                        audio_s_per_s=audio_acc / max(now - t_window, 1e-9),
+                    )
+                    t_window, audio_acc = time.time(), 0.0
+                if trainer.step % cfg.ckpt_every == 0:
+                    ckpt.save(
+                        trainer.step,
+                        trainer.state,
+                        {"step": trainer.step, "epoch": epoch,
+                         "batch_index": batch.index, "config": cfg.to_json()},
+                    )
+        finally:
+            # Early exit (error, Ctrl-C) must not leave the producer thread
+            # parked on a full queue pinning device buffers.
+            prefetch.close()
         start_batch = 0
         if args.eval_every and (epoch + 1) % args.eval_every == 0:
             w = trainer.greedy_wer(eval_corpus)

@@ -57,8 +57,15 @@ def main() -> None:
             import io
 
             rate, samples = wavfile.read(io.BytesIO(data))
-            if samples.dtype != np.float32:
+            if samples.ndim > 1:  # multichannel: take channel 0
+                samples = samples[:, 0]
+            if samples.dtype == np.int16:
                 samples = samples.astype(np.float32)
+            else:
+                # IEEE-float WAVs store [-1, 1]; rescale to PCM16 range
+                # (matching data/librispeech.py's fallback) or the int16
+                # quantization below collapses them to silence.
+                samples = samples.astype(np.float32) * 32768.0
             return samples, rate
 
     cfg = PRESETS[args.config]

@@ -32,20 +32,49 @@ class DevicePrefetcher:
     def __init__(self, batch_iter, put_fn, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: BaseException | None = None
+        self._stop = threading.Event()
 
         def run():
             try:
                 for batch in batch_iter:
-                    self._q.put((batch, put_fn(batch)))
+                    item = (batch, put_fn(batch))
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._q.put(self._DONE)
+                while True:  # _DONE must land even against a full queue
+                    try:
+                        self._q.put(self._DONE, timeout=0.2)
+                        break
+                    except queue.Full:
+                        if self._stop.is_set():
+                            break
+                        continue
 
         self._thread = threading.Thread(
             target=run, daemon=True, name="neuralasr-prefetch"
         )
         self._thread.start()
+
+    def close(self):
+        """Stop the producer and drop buffered batches — call from a
+        `finally` when abandoning iteration early, or the daemon thread
+        parks on the full queue pinning device arrays for the process
+        lifetime (and each retried epoch leaks another thread)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
 
     def __iter__(self):
         while True:

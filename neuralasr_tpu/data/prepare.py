@@ -92,6 +92,13 @@ class PackedCorpus:
             stem = os.path.join(
                 self.directory, self.manifest["shards"][si]["file"]
             )
+            if not os.path.exists(stem + ".meta.npz"):
+                raise FileNotFoundError(
+                    f"{stem}.meta.npz missing — this looks like a corpus "
+                    "packed by an older release (single-.npz shards); "
+                    "re-pack it with `neuralasr-prepare` (the current "
+                    "format stores samples as mmap-able bare .npy)"
+                )
             meta = np.load(stem + ".meta.npz", allow_pickle=True)
             self._shards[si] = {
                 # True mmap: the OS pages audio in on demand and evicts it

@@ -90,6 +90,7 @@ def evaluate_corpus(
     fwd_fns: dict[int, callable] = {}
     beam_fns: dict[tuple, callable] = {}
 
+    do_beam = beam_width > 1
     for batch in loader.epoch(0):
         if batch.bucket not in fwd_fns:
             frontend = trainer._frontend_for(batch.bucket)
@@ -100,8 +101,14 @@ def evaluate_corpus(
                 logits, out_lens = trainer.model.apply(
                     {"params": params}, feats, feat_lens, train=False
                 )
-                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 g_ids, g_lens = greedy_decode(logits, out_lens)
+                # Full-vocab f32 posteriors only when beam decode will
+                # consume them — greedy works off logits directly.
+                lp = (
+                    jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                    if do_beam
+                    else None
+                )
                 return lp, out_lens, g_ids, g_lens
 
             fwd_fns[batch.bucket] = fwd
@@ -113,7 +120,6 @@ def evaluate_corpus(
             trainer.state["params"], wav, wav_lens
         )
 
-        do_beam = beam_width > 1
         if do_beam:
             max_label = int(batch.labels.shape[1]) + 8
             beam_in, beam_lens = lp, out_lens

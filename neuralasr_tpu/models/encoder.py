@@ -52,7 +52,9 @@ class ModelConfig:
     def output_lens(self, feat_lens):
         if self.conv_subsample:
             return subsampled_len(feat_lens)
-        if self.frame_stack > 1:
+        # frame_stack only applies where CTCModel actually stacks: the
+        # bilstm path without conv subsampling.
+        if self.frame_stack > 1 and self.encoder_type == "bilstm":
             return (feat_lens + self.frame_stack - 1) // self.frame_stack
         return feat_lens
 

@@ -77,8 +77,11 @@ def _maybe_cache(cfg: TrainConfig, corpus, tag: str):
     from .data.prepare import PackedCorpus, write_shards
 
     root = "runs/_corpus_cache" if cfg.cache_dir == "auto" else cfg.cache_dir
+    # _v2: synthesis-format version — bump whenever SyntheticCorpus's
+    # waveform generation changes, or old cache dirs silently serve stale
+    # audio under an identical parameter key.
     key = (
-        f"{tag}_n{len(corpus)}_seed{corpus.seed}_cd{int(corpus.char_dur)}"
+        f"{tag}_v2_n{len(corpus)}_seed{corpus.seed}_cd{int(corpus.char_dur)}"
         f"_nl{corpus.noise_level:g}_fs{corpus.formant_shift_hz:g}"
     )
     d = os.path.join(root, key)

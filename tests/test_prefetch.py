@@ -49,3 +49,20 @@ def test_put_exception_propagates():
 
     with pytest.raises(ValueError, match="boom in put"):
         list(DevicePrefetcher(iter(range(5)), bad_put))
+
+
+def test_close_releases_producer_on_early_exit():
+    """Abandoning iteration + close() must stop the producer thread and
+    drop buffered items instead of parking forever on the full queue."""
+    produced = []
+
+    def tracking_put(x):
+        produced.append(x)
+        return x
+
+    pf = DevicePrefetcher(iter(range(100)), tracking_put, depth=2)
+    it = iter(pf)
+    next(it)  # consume one, then abandon
+    pf.close()
+    assert not pf._thread.is_alive()
+    assert len(produced) < 100  # producer stopped early

@@ -11,7 +11,9 @@ import json
 import sys
 import traceback
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 
@@ -30,7 +32,8 @@ VARIANTS = [
 
 
 def main():
-    out_path = "runs/bench_suite.jsonl"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(repo, "runs", "bench_suite.jsonl")
     for name, argv in VARIANTS:
         print(f"== bench variant: {name}", flush=True)
         old = sys.argv
