@@ -144,18 +144,16 @@ def main() -> None:
         ),
         model=dataclasses.replace(base.model, **model_over),
     )
-    trainer = Trainer(cfg)
-    if args.partition_attention and trainer.mesh.size == 1:
-        # Undo the Trainer's single-device downgrade for the A/B.
-        trainer.cfg = dataclasses.replace(
-            trainer.cfg,
-            model=dataclasses.replace(
-                trainer.cfg.model, partition_attention=True
-            ),
+    if args.partition_attention:
+        # A/B the custom_partitioning boundary on one device: force the
+        # flag in the config and tell the Trainer to skip its
+        # single-device downgrade (ADVICE r2: no post-construction
+        # cfg/model mutation).
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, partition_attention=True),
         )
-        from neuralasr_tpu.models.encoder import CTCModel
-
-        trainer.model = CTCModel(trainer.cfg.model)
+    trainer = Trainer(cfg, keep_partition_attention=args.partition_attention)
     sr = cfg.features.sample_rate
 
     # Fixed synthetic batch in the 8 s bucket (index by max_samples).

@@ -135,7 +135,6 @@ def main() -> None:
     t_window, audio_acc = t_start, 0.0
     profiling = False
     session_steps = 0  # steps taken THIS session (resume-safe profiling)
-    sample_rate = cfg.features.sample_rate
     for epoch in range(start_epoch, cfg.epochs):
         # Materialization + H2D run on a prefetch thread, double-buffered:
         # batch k+1 transfers while batch k computes (VERDICT.md r1 item 5).
@@ -154,7 +153,9 @@ def main() -> None:
                 m = {
                     "loss": loss,
                     "grad_norm": gnorm,
-                    "audio_s": float(batch.wav_lens.sum()) / sample_rate,
+                    # Global audio seconds: scales the process-local
+                    # wav_lens block by process_count (ADVICE r2).
+                    "audio_s": trainer.batch_audio_s(batch),
                 }
                 if profiling and session_steps >= 20:
                     jax.profiler.stop_trace()

@@ -20,10 +20,25 @@ _NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_NATIVE_DIR, "libasrnative.so")
 
 
-def _load() -> ctypes.CDLL:
+def _stale() -> bool:
+    """True when the .so is missing or older than any source/Makefile.
+
+    A committed prebuilt .so must never shadow a newer asr_native.cpp
+    (ADVICE r2) — compare mtimes and rebuild on skew."""
     if not os.path.exists(_SO):
+        return True
+    so_mtime = os.path.getmtime(_SO)
+    for name in os.listdir(_NATIVE_DIR):
+        if name.endswith((".cpp", ".h")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) > so_mtime:
+                return True
+    return False
+
+
+def _load() -> ctypes.CDLL:
+    if _stale():
         subprocess.run(
-            ["make", "-C", _NATIVE_DIR, "-s"],
+            ["make", "-C", _NATIVE_DIR, "-sB"],
             check=True,
             capture_output=True,
         )

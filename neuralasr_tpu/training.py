@@ -76,13 +76,17 @@ def _maybe_cache(cfg: TrainConfig, corpus, tag: str):
 
     from .data.prepare import PackedCorpus, write_shards
 
-    root = "runs/_corpus_cache" if cfg.cache_dir == "auto" else cfg.cache_dir
+    root = _default_cache_root() if cfg.cache_dir == "auto" else cfg.cache_dir
     # _v2: synthesis-format version — bump whenever SyntheticCorpus's
     # waveform generation changes, or old cache dirs silently serve stale
-    # audio under an identical parameter key.
+    # audio under an identical parameter key.  The key folds in EVERY
+    # synthesis parameter (incl. word-count bounds, spacing, sample rate):
+    # any future configurability must miss the cache, not alias it.
     key = (
         f"{tag}_v2_n{len(corpus)}_seed{corpus.seed}_cd{int(corpus.char_dur)}"
         f"_nl{corpus.noise_level:g}_fs{corpus.formant_shift_hz:g}"
+        f"_sd{int(corpus.space_dur)}_w{corpus.min_words}-{corpus.max_words}"
+        f"_sr{corpus.sample_rate}"
     )
     d = os.path.join(root, key)
     if not os.path.exists(os.path.join(d, "manifest.json")):
@@ -95,6 +99,27 @@ def _maybe_cache(cfg: TrainConfig, corpus, tag: str):
 
             shutil.rmtree(tmp, ignore_errors=True)
     return PackedCorpus(d)
+
+
+def _default_cache_root() -> str:
+    """Absolute anchor for the 'auto' corpus cache.
+
+    CWD-relative 'runs/_corpus_cache' would silently rebuild (or worse,
+    duplicate) caches whenever a tool runs from a different directory
+    (ADVICE r2).  Anchor at the checkout root when the package is imported
+    from one (the directory above the package holding pyproject.toml),
+    else under the user cache dir.
+    """
+    import os
+
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    if os.path.exists(os.path.join(pkg_parent, "pyproject.toml")):
+        return os.path.join(pkg_parent, "runs", "_corpus_cache")
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "neuralasr_tpu", "corpus"
+    )
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -118,10 +143,18 @@ class Trainer:
         mesh=None,
         process_index: int = 0,
         process_count: int = 1,
+        keep_partition_attention: bool = False,
     ):
+        """keep_partition_attention: skip the single-device downgrade below
+        (bench A/B of the custom_partitioning boundary's cost — ADVICE r2:
+        mutating trainer.cfg/model after construction was order-fragile)."""
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(model_axis=cfg.model_axis)
-        if self.mesh.size == 1 and cfg.model.partition_attention:
+        if (
+            self.mesh.size == 1
+            and cfg.model.partition_attention
+            and not keep_partition_attention
+        ):
             # One device: partitioning buys nothing and its custom-call
             # boundary can block fusion around the attention kernel.
             cfg = dataclasses.replace(
@@ -315,8 +348,16 @@ class Trainer:
         return {
             "loss": loss,
             "grad_norm": gnorm,
-            "audio_s": float(batch.wav_lens.sum()) / self.cfg.features.sample_rate,
+            "audio_s": self.batch_audio_s(batch),
         }
+
+    def batch_audio_s(self, batch: Batch) -> float:
+        """Global audio seconds in a batch.  Multi-process loaders fill
+        wav_lens only for this process's row block (rows outside stay 0),
+        so the local sum under-reports by ~process_count (ADVICE r2);
+        blocks are equal-sized, so scaling recovers the global figure."""
+        local = float(batch.wav_lens.sum()) / self.cfg.features.sample_rate
+        return local * self.loader.process_count
 
     def train_batch_device(self, bucket: int, device_args: tuple):
         """Step on already-device-resident args (bench/steady-state path)."""
