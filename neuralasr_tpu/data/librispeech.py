@@ -5,9 +5,10 @@ Walks the standard layout the reference trains on (SURVEY.md §4.1):
     root/<split>/<speaker>/<chapter>/<spk>-<chp>-<utt>.{wav,flac}
     root/<split>/<speaker>/<chapter>/<spk>-<chp>.trans.txt
 
-Audio decode: .wav via scipy (libsndfile-free); .flac requires the
-`soundfile` package, absent in this environment — detected lazily and
-reported, never silently skipped.  Presents the same corpus protocol as
+Audio decode: .wav via the native C++ PCM16 parser (scipy fallback);
+.flac — LibriSpeech's actual codec — via the native C++ FLAC decoder
+(native/asr_native.cpp), with the pure-Python decoder in data/flac.py as
+the toolchain-less fallback.  Presents the same corpus protocol as
 SyntheticCorpus (len / transcript(i) / waveform(i) / [i] / num_samples(i)),
 so BucketedLoader is corpus-agnostic.  Lengths are cached on first pass.
 """
@@ -64,15 +65,18 @@ class LibriSpeechCorpus:
             if data.dtype == np.int16:
                 return data.astype(np.float32)
             return data.astype(np.float32) * 32768.0
-        try:
-            import soundfile  # not installed in this environment
-        except ImportError as e:
-            raise RuntimeError(
-                f"{path}: flac decode needs the 'soundfile' package "
-                "(unavailable here); convert to wav or install it"
-            ) from e
-        data, _ = soundfile.read(path, dtype="float32")
-        return data * 32768.0
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        try:  # native C++ FLAC decoder (CRC-verified)
+            from ..native import flac_decode
+
+            samples, _rate = flac_decode(raw)
+            return samples
+        except ImportError:
+            from .flac import flac_decode as py_flac_decode
+
+            samples, _rate = py_flac_decode(raw)
+            return samples
 
     def __getitem__(self, index: int):
         return self.waveform(index), self.transcript(index)
@@ -80,7 +84,8 @@ class LibriSpeechCorpus:
     def num_samples(self, index: int) -> int:
         """Sample count without decoding audio where possible: the loader
         calls this for EVERY utterance at init (bucketing pass), so .wav
-        lengths come from the RIFF header alone."""
+        lengths come from the RIFF header and .flac lengths from the
+        STREAMINFO total-samples field — no frame decode either way."""
         if index not in self._len_cache:
             path = self._utts[index][0]
             if path.endswith(".wav"):
@@ -92,5 +97,17 @@ class LibriSpeechCorpus:
                     return self._len_cache[index]
                 except wave.Error:
                     pass  # unusual encoding: fall through to full decode
+            elif path.endswith(".flac"):
+                from .flac import parse_streaminfo
+
+                with open(path, "rb") as fh:
+                    head = fh.read(4096)
+                try:
+                    total = parse_streaminfo(head)["total_samples"]
+                    if total:  # 0 = unknown: fall through to full decode
+                        self._len_cache[index] = total
+                        return total
+                except ValueError:
+                    pass
             self._len_cache[index] = len(self.waveform(index))
         return self._len_cache[index]

@@ -60,6 +60,14 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.wav_decode_pcm16.restype = ctypes.c_int64
+    lib.flac_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.flac_decode.restype = ctypes.c_int64
     return lib
 
 
@@ -117,4 +125,41 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     )
     if n < 0:
         raise ValueError("not a PCM16 RIFF/WAVE file")
+    return out[:n], int(rate.value)
+
+
+_FLAC_ERRORS = {
+    -1: "bad magic or STREAMINFO",
+    -2: "bitstream parse error",
+    -3: "CRC mismatch",
+    -4: "output buffer too small",
+}
+
+
+def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes -> (float32 samples of channel 0, sample_rate).
+
+    C++ decoder (native/asr_native.cpp); same convention as wav_decode —
+    raw integer amplitudes, first channel.  The pure-Python fallback with
+    identical semantics lives in data/flac.py."""
+    from ..data.flac import parse_streaminfo
+
+    si = parse_streaminfo(data)  # raises ValueError on non-FLAC input
+    # total_samples may legally be 0 (unknown); bound by the bitstream then:
+    # even an all-escape 1-bit-raw stream yields < 8 samples per byte.
+    cap = si["total_samples"] or len(data) * 8
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(cap + 1, dtype=np.float32)
+    rate = ctypes.c_int32(0)
+    n = _lib.flac_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(out),
+        ctypes.byref(rate),
+    )
+    if n < 0:
+        raise ValueError(
+            f"flac decode failed: {_FLAC_ERRORS.get(int(n), 'unknown error')}"
+        )
     return out[:n], int(rate.value)

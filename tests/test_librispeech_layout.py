@@ -1,8 +1,9 @@
 """End-to-end through the LibriSpeech-layout corpus reader (SURVEY.md §4.1;
-VERDICT.md round-1 item 9): a locally written wav + .trans.txt tree drives
-prepare -> train -> evaluate -> transcribe CLI.  Only the flac codec itself
-stays untested (no decoder in this environment — data/librispeech.py raises
-loudly for .flac).
+VERDICT.md round-1 item 9): locally written wav AND flac + .trans.txt trees
+drive prepare -> train -> evaluate -> transcribe CLI.  The .flac tree uses
+the real LibriSpeech codec through the repo's own decoders
+(native/asr_native.cpp flac_decode + data/flac.py fallback; VERDICT r2
+item 1), with audio encoded by the spec-following test encoder.
 """
 
 import dataclasses
@@ -30,19 +31,30 @@ def _write_wav(path: str, samples: np.ndarray, rate: int = 16000):
         w.writeframes(pcm.tobytes())
 
 
-def _build_tree(root, split: str, seed: int, n: int) -> list[tuple[str, str]]:
-    """Standard layout: root/<split>/<spk>/<chp>/<spk>-<chp>-<utt>.wav +
-    <spk>-<chp>.trans.txt.  Audio comes from SyntheticCorpus so the tree
+def _write_flac(path: str, samples: np.ndarray, rate: int = 16000):
+    from flac_encoder import encode_flac
+
+    pcm = np.clip(np.rint(samples), -32768, 32767).astype(np.int64)
+    with open(path, "wb") as fh:
+        fh.write(encode_flac(pcm, sample_rate=rate, kind="fixed:2"))
+
+
+def _build_tree(
+    root, split: str, seed: int, n: int, codec: str = "wav"
+) -> list[tuple[str, str]]:
+    """Standard layout: root/<split>/<spk>/<chp>/<spk>-<chp>-<utt>.{wav,flac}
+    + <spk>-<chp>.trans.txt.  Audio comes from SyntheticCorpus so the tree
     is actually learnable."""
     synth = SyntheticCorpus(n, seed=seed)
     d = os.path.join(root, split, "7", "21")
     os.makedirs(d, exist_ok=True)
     utts = []
     lines = []
+    write = {"wav": _write_wav, "flac": _write_flac}[codec]
     for i in range(n):
         key = f"7-21-{i:04d}"
-        wav_path = os.path.join(d, key + ".wav")
-        _write_wav(wav_path, synth.waveform(i))
+        wav_path = os.path.join(d, f"{key}.{codec}")
+        write(wav_path, synth.waveform(i))
         # LibriSpeech transcripts are uppercase; the reader must pass them
         # through text normalization downstream.
         lines.append(f"{key} {synth.transcript(i).upper()}")
@@ -57,6 +69,14 @@ def corpus_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("librispeech")
     _build_tree(root, "dev-clean", seed=5, n=10)
     _build_tree(root, "test-clean", seed=1005, n=6)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def flac_corpus_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("librispeech_flac")
+    _build_tree(root, "dev-clean", seed=5, n=10, codec="flac")
+    _build_tree(root, "test-clean", seed=1005, n=6, codec="flac")
     return str(root)
 
 
@@ -81,6 +101,59 @@ def test_prepare_roundtrip_from_layout(corpus_root, tmp_path):
     for i in [0, 5, 9]:
         np.testing.assert_array_equal(p.waveform(i), c.waveform(i))
         assert p.transcript(i) == c.transcript(i)
+
+
+def test_reader_decodes_flac_tree(flac_corpus_root):
+    """The .flac path: same corpus, real LibriSpeech codec.  Decode must be
+    bit-exact vs the synthetic PCM, and num_samples must come from
+    STREAMINFO (no frame decode) yet agree with the full decode."""
+    c = LibriSpeechCorpus(flac_corpus_root, "dev-clean")
+    assert len(c) == 10
+    synth = SyntheticCorpus(10, seed=5)
+    for i in [0, 4, 9]:
+        assert c.transcript(i).lower() == synth.transcript(i)
+        want = np.clip(np.rint(synth.waveform(i)), -32768, 32767)
+        np.testing.assert_array_equal(c.waveform(i), want.astype(np.float32))
+        assert c.num_samples(i) == len(want)
+
+
+def test_python_fallback_flac_path(flac_corpus_root, monkeypatch):
+    """data/librispeech.py must fall back to the pure-Python decoder when
+    the native module is unavailable (ImportError), with equal output."""
+    import builtins
+
+    c = LibriSpeechCorpus(flac_corpus_root, "dev-clean")
+    native_out = c.waveform(2)
+
+    real_import = builtins.__import__
+
+    def no_native(name, *a, **kw):
+        if "native" in name:
+            raise ImportError("forced for test")
+        return real_import(name, *a, **kw)
+
+    c2 = LibriSpeechCorpus(flac_corpus_root, "dev-clean")
+    monkeypatch.setattr(builtins, "__import__", no_native)
+    np.testing.assert_array_equal(c2.waveform(2), native_out)
+
+
+def test_prepare_and_train_through_flac_layout(flac_corpus_root, tmp_path):
+    """prepare -> packed shards -> train -> eval, all from .flac audio."""
+    c = LibriSpeechCorpus(flac_corpus_root, "dev-clean")
+    write_shards(c, str(tmp_path / "packed"), shard_size=4)
+    p = PackedCorpus(str(tmp_path / "packed"))
+    for i in [1, 7]:
+        np.testing.assert_array_equal(p.waveform(i), c.waveform(i))
+
+    cfg = _tiny_cfg(flac_corpus_root)
+    trainer = Trainer(cfg)
+    losses = [
+        float(trainer.train_batch(b)["loss"]) for b in trainer.loader.epoch(0)
+    ]
+    assert losses and all(np.isfinite(l) for l in losses)
+    eval_corpus = make_corpus(cfg, eval_split=True)
+    assert len(eval_corpus) == 6
+    assert 0.0 <= trainer.greedy_wer(eval_corpus, max_utts=6) <= 1.5
 
 
 def _tiny_cfg(corpus_root):
