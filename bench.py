@@ -84,7 +84,9 @@ def main() -> None:
     from neuralasr_tpu.training import Trainer
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=32, help="bench batch size")
+    # Default 64: +0.035 mfu over 32 on the v5e (BASELINE.md round-2 A/B);
+    # VERDICT r2 item 2c promoted it to the standard bench point.
+    p.add_argument("--batch", type=int, default=64, help="bench batch size")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--frontend", default="pallas",
                    choices=["pallas", "gather", "conv"],
@@ -141,6 +143,10 @@ def main() -> None:
             base.features,
             use_pallas=args.frontend == "pallas" and on_tpu,
             frontend_impl="conv" if args.frontend == "conv" else "gather",
+            # Frontend compute follows the bench dtype: bf16 halves the
+            # framing/DFT HBM traffic (VERDICT r2 item 2a; parity bounds in
+            # tests/test_features.py::test_bf16_compute_dtype_parity).
+            compute_dtype=args.dtype,
         ),
         model=dataclasses.replace(base.model, **model_over),
     )

@@ -8,14 +8,20 @@ item 1):
   [B, S=2*Lmax+1] tensor; all batching is dense (no SparseTensor — that is a
   TF-1.x artifact).
 - One `lax.scan` over time computes the alpha recursion for the whole batch
-  on the VPU; emissions are pre-gathered into [T, B, S] so the scan body is
-  pure elementwise math (shift + logsumexp3 + add).
+  on the VPU.  Emissions are gathered INSIDE the scan body from the [B, V]
+  frame of log-probs via a precomputed one-hot [B, S, V] contraction —
+  never materialized as a [T, B, S] tensor.  With V ≈ 30 and S ≈ 2L+1 ≈ 6V,
+  the round-2 pre-gather inflated HBM traffic ~6x and made the stage
+  bandwidth-bound at 67 GB/s (VERDICT r2 item 2b); in-body gather keeps the
+  streamed operand at the [T, B, V] log-probs (~1.5 MB for the bench
+  bucket), which XLA pins in VMEM across the fused scan.
 - Length masking: frames past `input_lens` carry alpha through unchanged;
   states past each row's true 2L+1 never influence the final gather.
-- Gradient: reverse-mode autodiff of the forward scan (mathematically the
-  alpha-beta gradient; SURVEY.md §8 recommends exactly this).  Residual
-  memory is O(T*B*S); `jax.checkpoint` can be applied by callers for very
-  long T.
+- Gradient: analytic alpha-beta custom_vjp.  The backward fuses the
+  occupancy accumulation into the beta scan: each step emits the [B, V]
+  per-class occupancy directly (one [B,S]x[B,S,V] contraction), so betas
+  are ALSO never materialized — residual HBM traffic is alphas [T, B, S]
+  plus the log-probs, nothing else.
 
 Blank id = 0 (package convention, neuralasr_tpu/text.py).
 """
@@ -56,61 +62,13 @@ def ctc_forward(
     """Log-likelihood log p(labels | log_probs) per utterance. Shape [B]."""
     B, T, V = log_probs.shape
     L = labels.shape[1]
-    S = 2 * L + 1
-
-    ext = expand_labels(labels.astype(jnp.int32), blank_id)  # [B, S]
-
-    # Skip transition allowed into state s iff ext[s] is a non-blank label
-    # differing from ext[s-2] (standard CTC; repeated labels must pass
-    # through the separating blank).
-    ext_m2 = jnp.concatenate(
-        [jnp.full((B, 2), -1, dtype=ext.dtype), ext[:, :-2]], axis=1
+    ext, allow_skip, state_valid = _lattice(labels, label_lens, blank_id, B, L)
+    onehot = jax.nn.one_hot(ext, V, dtype=log_probs.dtype)  # [B, S, V]
+    lp = jnp.transpose(log_probs, (1, 0, 2))  # [T, B, V]
+    ll, _ = _alpha_scan(
+        lp, onehot, input_lens, allow_skip, state_valid, label_lens,
+        collect=False,
     )
-    allow_skip = (ext != blank_id) & (ext != ext_m2)  # [B, S]
-    allow_skip = allow_skip.at[:, :2].set(False)
-
-    # Pre-gather emissions for every lattice state: [B, T, S] -> [T, B, S].
-    em = jnp.take_along_axis(
-        log_probs, ext[:, None, :].astype(jnp.int32), axis=2
-    )
-    em = jnp.transpose(em, (1, 0, 2))
-
-    s_idx = jnp.arange(S)[None, :]  # [1, S]
-    # States beyond each row's true lattice (s >= 2*label_len+1) are dead.
-    state_valid = s_idx < (2 * label_lens[:, None] + 1)  # [B, S]
-
-    alpha0 = jnp.full((B, S), NEG_INF)
-    alpha0 = alpha0.at[:, 0].set(em[0, :, 0])
-    has_label = label_lens > 0
-    alpha0 = alpha0.at[:, 1].set(jnp.where(has_label, em[0, :, 1], NEG_INF))
-    alpha0 = jnp.where(state_valid, alpha0, NEG_INF)
-    # Rows with input_len == 0 contribute nothing meaningful; t=0 is always
-    # applied here, so clamp below via the final gather on input_lens >= 1.
-
-    neg_col = jnp.full((B, 1), NEG_INF)
-
-    def step(alpha, xs):
-        em_t, t = xs
-        a1 = jnp.concatenate([neg_col, alpha[:, :-1]], axis=1)
-        a2 = jnp.concatenate([neg_col, neg_col, alpha[:, :-2]], axis=1)
-        a2 = jnp.where(allow_skip, a2, NEG_INF)
-        new = _logsumexp3(alpha, a1, a2) + em_t
-        new = jnp.where(state_valid, new, NEG_INF)
-        active = (t < input_lens)[:, None]  # [B, 1]
-        return jnp.where(active, new, alpha), None
-
-    ts = jnp.arange(1, T)
-    alpha_T, _ = jax.lax.scan(step, alpha0, (em[1:], ts), unroll=4)
-
-    # Final states: s = 2*label_len (trailing blank) and 2*label_len - 1
-    # (last label).  Gather per row.
-    last = (2 * label_lens).astype(jnp.int32)
-    a_last = jnp.take_along_axis(alpha_T, last[:, None], axis=1)[:, 0]
-    prev = jnp.clip(last - 1, 0, S - 1)
-    a_prev = jnp.take_along_axis(alpha_T, prev[:, None], axis=1)[:, 0]
-    a_prev = jnp.where(has_label, a_prev, NEG_INF)
-    m = jnp.maximum(a_last, a_prev)
-    ll = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
     return ll
 
 
@@ -157,18 +115,34 @@ def _lattice(labels, label_lens, blank_id, B, L):
     return ext, allow_skip, state_valid
 
 
-def _alpha_scan(em, input_lens, allow_skip, state_valid, label_lens):
-    """em [T,B,S] -> (ll [B], alphas [T,B,S])."""
-    T, B, S = em.shape
+def _emission(lp_frame, onehot):
+    """Per-frame lattice emissions [B, S] from log-probs [B, V].
+
+    One-hot contraction instead of take_along_axis: numerically identical
+    (single 1.0 term per row), a few hundred KFLOP of fused VPU work per
+    frame, and — the point — no [T, B, S] gather product ever touches HBM.
+    """
+    return jnp.einsum("bv,bsv->bs", lp_frame, onehot)
+
+
+def _alpha_scan(
+    lp, onehot, input_lens, allow_skip, state_valid, label_lens,
+    collect: bool = True,
+):
+    """lp [T,B,V] time-major log-probs -> (ll [B], alphas [T,B,S] or None)."""
+    T, B, _V = lp.shape
+    S = onehot.shape[1]
     has_label = label_lens > 0
+    em0 = _emission(lp[0], onehot)
     alpha0 = jnp.full((B, S), NEG_INF)
-    alpha0 = alpha0.at[:, 0].set(em[0, :, 0])
-    alpha0 = alpha0.at[:, 1].set(jnp.where(has_label, em[0, :, 1], NEG_INF))
+    alpha0 = alpha0.at[:, 0].set(em0[:, 0])
+    alpha0 = alpha0.at[:, 1].set(jnp.where(has_label, em0[:, 1], NEG_INF))
     alpha0 = jnp.where(state_valid, alpha0, NEG_INF)
     neg_col = jnp.full((B, 1), NEG_INF)
 
     def step(alpha, xs):
-        em_t, t = xs
+        lp_frame, t = xs
+        em_t = _emission(lp_frame, onehot)
         a1 = jnp.concatenate([neg_col, alpha[:, :-1]], axis=1)
         a2 = jnp.concatenate([neg_col, neg_col, alpha[:, :-2]], axis=1)
         a2 = jnp.where(allow_skip, a2, NEG_INF)
@@ -176,13 +150,15 @@ def _alpha_scan(em, input_lens, allow_skip, state_valid, label_lens):
         new = jnp.where(state_valid, new, NEG_INF)
         active = (t < input_lens)[:, None]
         new = jnp.where(active, new, alpha)
-        return new, new
+        return new, (new if collect else None)
 
     ts = jnp.arange(1, T)
-    alpha_T, alphas_rest = jax.lax.scan(
-        step, alpha0, (em[1:], ts), unroll=4
+    alpha_T, alphas_rest = jax.lax.scan(step, alpha0, (lp[1:], ts), unroll=4)
+    alphas = (
+        jnp.concatenate([alpha0[None], alphas_rest], axis=0)
+        if collect
+        else None
     )
-    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
 
     last = (2 * label_lens).astype(jnp.int32)
     a_last = jnp.take_along_axis(alpha_T, last[:, None], axis=1)[:, 0]
@@ -194,13 +170,20 @@ def _alpha_scan(em, input_lens, allow_skip, state_valid, label_lens):
     return ll, alphas
 
 
-def _beta_scan(em, input_lens, allow_skip, state_valid, label_lens):
-    """Reverse recursion. Returns betas [T,B,S] (log space).
+def _beta_occ_scan(
+    lp, alphas, onehot, input_lens, allow_skip, state_valid, label_lens, ll
+):
+    """Reverse recursion, occupancy fused in.  Returns occ [T,B,V].
 
     beta_t(s) is defined so that gamma = alpha_t + beta_t satisfies
-    logsumexp_s(gamma_t) = ll for every t < input_len.
+    logsumexp_s(gamma_t) = ll for every t < input_len.  The scan carries
+    beta [B,S] and emits, per step, the per-class occupancy
+    occ_t[b,v] = sum_s 1[ext[s]=v] * exp(gamma_t(s) - ll) — so the [T,B,S]
+    beta lattice never reaches HBM; only the [T,B,V] occupancy (same shape
+    as the gradient) does.
     """
-    T, B, S = em.shape
+    T, B, _V = lp.shape
+    S = onehot.shape[1]
     # Final condition at t = len-1: 0 on states 2L and 2L-1.
     s_idx = jnp.arange(S)[None, :]
     last = (2 * label_lens)[:, None]
@@ -214,9 +197,16 @@ def _beta_scan(em, input_lens, allow_skip, state_valid, label_lens):
         [allow_skip[:, 2:], jnp.zeros((B, 2), dtype=bool)], axis=1
     )
     neg_col = jnp.full((B, 1), NEG_INF)
+    feasible = ll > NEG_INF / 2  # [B]
+
+    def occupancy(gamma, t):
+        w = jnp.where(feasible[:, None], jnp.exp(gamma - ll[:, None]), 0.0)
+        w = jnp.where((t < input_lens)[:, None], w, 0.0)
+        return jnp.einsum("bs,bsv->bv", w, onehot)
 
     def step(beta_next, xs):
-        em_next, t = xs  # em_next = em[t+1]
+        lp_next, alpha_t, t = xs  # lp[t+1], alphas[t]
+        em_next = _emission(lp_next, onehot)
         x0 = beta_next + em_next
         x1 = jnp.concatenate([x0[:, 1:], neg_col], axis=1)
         x2 = jnp.concatenate([x0[:, 2:], neg_col, neg_col], axis=1)
@@ -226,15 +216,14 @@ def _beta_scan(em, input_lens, allow_skip, state_valid, label_lens):
         # t >= len-1: clamp to the final condition (exact at t == len-1).
         at_or_past_end = (t >= input_lens - 1)[:, None]
         new = jnp.where(at_or_past_end, fin, new)
-        return new, new
+        return new, occupancy(alpha_t + new, t)
 
     ts = jnp.arange(T - 2, -1, -1)
-    # em indexed at t+1 when scanning t = T-2..0.
-    em_rev = em[1:][::-1]
-    beta_init = fin
-    _, betas_rev = jax.lax.scan(step, beta_init, (em_rev, ts), unroll=4)
-    betas = jnp.concatenate([betas_rev[::-1], beta_init[None]], axis=0)
-    return betas
+    # beta at t consumes lp[t+1] and pairs with alphas[t], t = T-2..0.
+    xs = (lp[1:][::-1], alphas[:-1][::-1], ts)
+    _, occ_rev = jax.lax.scan(step, fin, xs, unroll=4)
+    occ_last = occupancy(alphas[T - 1] + fin, T - 1)
+    return jnp.concatenate([occ_rev[::-1], occ_last[None]], axis=0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -249,29 +238,25 @@ def _ctc_fb_fwd(logits, labels, input_lens, label_lens, blank_id):
     L = labels.shape[1]
     lp = jax.nn.log_softmax(logits, axis=-1)
     ext, allow_skip, state_valid = _lattice(labels, label_lens, blank_id, B, L)
-    em = jnp.take_along_axis(lp, ext[:, None, :].astype(jnp.int32), axis=2)
-    em = jnp.transpose(em, (1, 0, 2))  # [T, B, S]
-    ll, alphas = _alpha_scan(em, input_lens, allow_skip, state_valid, label_lens)
-    res = (lp, em, alphas, ll, ext, allow_skip, state_valid,
+    onehot = jax.nn.one_hot(ext, V, dtype=lp.dtype)  # [B, S, V]
+    lp_tm = jnp.transpose(lp, (1, 0, 2))  # [T, B, V]
+    ll, alphas = _alpha_scan(
+        lp_tm, onehot, input_lens, allow_skip, state_valid, label_lens
+    )
+    res = (lp, alphas, ll, onehot, allow_skip, state_valid,
            input_lens, label_lens)
     return -ll, res
 
 
 def _ctc_fb_bwd(blank_id, res, g):
-    (lp, em, alphas, ll, ext, allow_skip, state_valid,
+    (lp, alphas, ll, onehot, allow_skip, state_valid,
      input_lens, label_lens) = res
-    T, B, S = em.shape
-    V = lp.shape[-1]
-    betas = _beta_scan(em, input_lens, allow_skip, state_valid, label_lens)
-    gamma = alphas + betas  # [T, B, S]
-    # Posterior state occupancy; dead rows (ll ~ -inf, infeasible) get 0.
-    feasible = (ll > NEG_INF / 2)[None, :, None]
-    w = jnp.where(feasible, jnp.exp(gamma - ll[None, :, None]), 0.0)
-    t_idx = jnp.arange(T)[:, None, None]
-    w = jnp.where(t_idx < input_lens[None, :, None], w, 0.0)
-    # Sum occupancy per vocab class: one-hot contraction on the MXU.
-    onehot = jax.nn.one_hot(ext, V, dtype=w.dtype)  # [B, S, V]
-    occ = jnp.einsum("tbs,bsv->tbv", w, onehot)  # [T, B, V]
+    B, T, V = lp.shape
+    lp_tm = jnp.transpose(lp, (1, 0, 2))  # [T, B, V]
+    occ = _beta_occ_scan(
+        lp_tm, alphas, onehot, input_lens, allow_skip, state_valid,
+        label_lens, ll,
+    )  # [T, B, V]
     occ = jnp.transpose(occ, (1, 0, 2))  # [B, T, V]
     # dloss/dlogits = softmax - occupancy (within length; zero outside).
     y = jnp.exp(lp)

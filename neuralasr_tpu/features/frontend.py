@@ -77,6 +77,12 @@ class FeatureConfig:
     # windowed DFT basis, stride = hop) — no [B, T, frame_len] intermediate
     # ever reaches HBM; XLA lowers the conv onto the MXU directly.
     frontend_impl: str = "gather"
+    # "bfloat16" halves the HBM traffic of the framing/DFT stage (its big
+    # operands: waveform rows, frames, DFT basis); the MXU still
+    # accumulates in f32 and power/log/CMVN stay f32.  Parity vs the f32
+    # path is ~1e-2 on CMVN'd features (tests/test_features.py) — below
+    # the training noise floor, but keep f32 for oracle-parity work.
+    compute_dtype: str = "float32"
 
     @property
     def dim(self) -> int:
@@ -108,9 +114,10 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
     """
     window = np.hamming(cfg.frame_len)
     C, S = _dft_matrices(cfg.frame_len, cfg.n_fft)
+    cdtype = jnp.dtype(cfg.compute_dtype)
     # Fold the window into the DFT matrices: (f*w) @ C == f @ (w[:,None]*C).
-    wC = jnp.asarray(window[:, None] * C, dtype=jnp.float32)
-    wS = jnp.asarray(window[:, None] * S, dtype=jnp.float32)
+    wC = jnp.asarray(window[:, None] * C, dtype=cdtype)
+    wS = jnp.asarray(window[:, None] * S, dtype=cdtype)
     fb = jnp.asarray(
         mel_filterbank(cfg.n_mels, cfg.n_fft, cfg.sample_rate),
         dtype=jnp.float32,
@@ -140,8 +147,29 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
         shifted = jnp.concatenate([wav[:, :1] * 0, wav[:, :-1]], axis=1)
         y = wav - cfg.preemph * shifted
         y = y.at[:, 0].set(wav[:, 0])
+        y = y.astype(cdtype)  # bf16 halves the framing/DFT HBM traffic
+        feat_lens = num_frames(wav_lens, cfg.frame_len, cfg.hop).astype(
+            jnp.int32
+        )
 
-        if cfg.frontend_impl == "conv" and not cfg.use_pallas:
+        if cfg.use_pallas:
+            # Fully fused kernel INCLUDING framing: the [B, T, frame_len]
+            # frames tensor never exists (ops/pallas_frontend.py).
+            from ..ops.pallas_frontend import fused_frontend_framed
+
+            wdft = jnp.concatenate([wC, wS], axis=1)  # [frame_len, 2K]
+            post = (
+                dct
+                if cfg.feature_type == "mfcc"
+                else jnp.eye(cfg.n_mels, dtype=jnp.float32)
+            )
+            feats = fused_frontend_framed(
+                y, max_frames, wdft, fb, post, cfg.n_fft, LOG_FLOOR,
+                cfg.hop, cfg.frame_len,
+            )
+            return _postprocess(feats, feat_lens)
+
+        if cfg.frontend_impl == "conv":
             # Framing + window + rDFT as a strided conv: out[b, k, t] =
             # sum_n y[b, t*hop + n] * wdft[n, k].  Exactly the gather+matmul
             # result, but the [B, T, frame_len] frames tensor never exists.
@@ -153,42 +181,18 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
                 kern,
                 window_strides=(cfg.hop,),
                 padding="VALID",
+                preferred_element_type=jnp.float32,
             )  # [B, 2K, T]
             out = jnp.transpose(out, (0, 2, 1))  # [B, T, 2K]
             K = cfg.n_fft // 2 + 1
             re, im = out[..., :K], out[..., K:]
-            pspec = (re * re + im * im) / cfg.n_fft
-            logmel = jnp.log(jnp.maximum(pspec @ fb, LOG_FLOOR))
-            feats = logmel @ dct if cfg.feature_type == "mfcc" else logmel
-            feat_lens = num_frames(wav_lens, cfg.frame_len, cfg.hop).astype(
-                jnp.int32
-            )
-            return _postprocess(feats, feat_lens)
-
-        frames = y[:, frame_idx]  # [B, T, frame_len] gather
-        if cfg.use_pallas:
-            from ..ops.pallas_frontend import fused_frontend
-
-            wdft = jnp.concatenate([wC, wS], axis=1)  # [frame_len, 2*(nfft/2+1)]
-            post = (
-                dct
-                if cfg.feature_type == "mfcc"
-                else jnp.eye(cfg.n_mels, dtype=jnp.float32)
-            )
-            flat = frames.reshape(B * max_frames, cfg.frame_len)
-            feats = fused_frontend(
-                flat, wdft, fb, post, cfg.n_fft, LOG_FLOOR
-            ).reshape(B, max_frames, -1)
         else:
-            re = frames @ wC  # [B, T, n_fft//2+1] (MXU)
-            im = frames @ wS
-            pspec = (re * re + im * im) / cfg.n_fft
-            logmel = jnp.log(jnp.maximum(pspec @ fb, LOG_FLOOR))
-            feats = logmel @ dct if cfg.feature_type == "mfcc" else logmel
-
-        feat_lens = num_frames(wav_lens, cfg.frame_len, cfg.hop).astype(
-            jnp.int32
-        )
+            frames = y[:, frame_idx]  # [B, T, frame_len] gather
+            re = (frames @ wC).astype(jnp.float32)  # MXU, f32 accumulation
+            im = (frames @ wS).astype(jnp.float32)
+        pspec = (re * re + im * im) / cfg.n_fft
+        logmel = jnp.log(jnp.maximum(pspec @ fb, LOG_FLOOR))
+        feats = logmel @ dct if cfg.feature_type == "mfcc" else logmel
         return _postprocess(feats, feat_lens)
 
     return frontend

@@ -1,16 +1,26 @@
-"""Fused feature-extraction Pallas kernel (window+DFT+power+mel+log[+DCT]).
+"""Fused feature-extraction Pallas kernels (framing+window+DFT+power+mel+
+log[+DCT]).
 
 BASELINE.json: "feature-extraction FFT run at speed-of-light per chip".
 The pipeline per frame is window -> rDFT (as a [400, 2*257] matmul — for
 n_fft=512 a dense DFT matmul on the MXU beats butterfly FFTs, which XLA
 can't tile onto the systolic array) -> power -> mel matmul -> log -> (DCT
-matmul).  XLA materializes the [B*T, 514] spectrum and [B*T, 257] power in
-HBM between those ops; this kernel keeps every intermediate in VMEM, so the
-HBM traffic is exactly frames-in (400 f32/frame) + features-out (n_mels or
-n_mfcc f32/frame) — the bandwidth speed-of-light for this op.
+matmul).
 
-Framing itself stays an XLA gather (overlapping 400/160 windows; ~2.5x wav
-bytes, negligible).  Off-TPU the kernel runs in interpret mode.
+Two kernels:
+
+- `fused_frontend` takes pre-gathered [NF, frame_len] frames and keeps the
+  spectrum/power/mel intermediates in VMEM (HBM traffic = frames in +
+  features out).
+- `fused_frontend_framed` goes further and folds the FRAMING in: it reads
+  the raw pre-emphasized waveform (reshaped to hop-sized rows) from HBM by
+  manual DMA of overlapping row windows and assembles each frame from
+  static row slices inside VMEM, so the [B, T, frame_len] frames tensor —
+  ~2.5x the wav bytes, by far the largest array the round-2 frontend
+  touched (VERDICT r2 item 2a) — never exists anywhere.  HBM traffic drops
+  to wav-in + features-out, the true speed-of-light for the op.
+
+Off-TPU the kernels run in interpret mode.
 """
 
 from __future__ import annotations
@@ -24,28 +34,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(frames_ref, wdft_ref, mel_ref, post_ref, out_ref, *, n_fft, floor):
-    frames = frames_ref[:]  # [BF, frame_len]
+def _spectrum_to_features(frames, wdft, mel, post, n_fft, floor):
+    """Shared VMEM pipeline: frames [BF, frame_len] -> features [BF, F_out].
+    Matmul inputs may be bf16 (compute_dtype knob); the MXU accumulates in
+    f32 (preferred_element_type) and power/log run in f32."""
     m = jax.lax.dot_general(
         frames,
-        wdft_ref[:],
+        wdft,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BF, 2*(n_fft//2+1)] — windowed rDFT (re | im halves)
     nb = m.shape[1] // 2
     p = (m[:, :nb] ** 2 + m[:, nb:] ** 2) * (1.0 / n_fft)
-    mel = jax.lax.dot_general(
-        p,
-        mel_ref[:],
+    mel_out = jax.lax.dot_general(
+        p.astype(mel.dtype),
+        mel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    lm = jnp.log(jnp.maximum(mel, floor))
-    out_ref[:] = jax.lax.dot_general(
-        lm,
-        post_ref[:],
+    lm = jnp.log(jnp.maximum(mel_out, floor))
+    return jax.lax.dot_general(
+        lm.astype(post.dtype),
+        post,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+    )
+
+
+def _kernel(frames_ref, wdft_ref, mel_ref, post_ref, out_ref, *, n_fft, floor):
+    out_ref[:] = _spectrum_to_features(
+        frames_ref[:], wdft_ref[:], mel_ref[:], post_ref[:], n_fft, floor
     )
 
 
@@ -104,3 +122,121 @@ def fused_frontend(
         ),
     )(frames, wdft, mel_fb, post)
     return out[:NF]
+
+
+def _framed_kernel(
+    y_ref,  # [B*(Tpad+k-1), hop] in HBM (ANY): hop-sized waveform rows
+    wdft_ref,
+    mel_ref,
+    post_ref,
+    out_ref,
+    scratch,  # VMEM [bf+k-1, hop]
+    sem,
+    *,
+    n_fft,
+    floor,
+    bf,
+    hop,
+    frame_len,
+    k,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    rows_per_utt = nb * bf + (k - 1)
+    start = b * rows_per_utt + j * bf
+    dma = pltpu.make_async_copy(
+        y_ref.at[pl.ds(start, bf + k - 1)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    rows = scratch[:]
+    # Frame i spans rows i..i+k-1 of the hop grid: assemble all bf frames
+    # from k static shifted slices — no gather, no dynamic indexing.
+    pieces = [rows[i : bf + i] for i in range(k - 1)]
+    pieces.append(rows[k - 1 : bf + k - 1, : frame_len - (k - 1) * hop])
+    frames = jnp.concatenate(pieces, axis=1)  # [bf, frame_len]
+    out_ref[:] = _spectrum_to_features(
+        frames, wdft_ref[:], mel_ref[:], post_ref[:], n_fft, floor
+    )
+
+
+def fused_frontend_framed(
+    y: jnp.ndarray,  # [B, N] pre-emphasized waveform (f32 or bf16)
+    max_frames: int,
+    wdft: jnp.ndarray,  # [frame_len, 2*(n_fft//2+1)] window-folded rDFT basis
+    mel_fb: jnp.ndarray,  # [n_fft//2+1, n_mels]
+    post: jnp.ndarray,  # [n_mels, F_out]
+    n_fft: int,
+    floor: float,
+    hop: int,
+    frame_len: int,
+    block_frames: int = 256,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """[B, N] waveform -> [B, max_frames, F_out] features, one fused kernel
+    including the framing itself (frame i = y[i*hop : i*hop+frame_len])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = y.shape
+    F_out = post.shape[1]
+    k = -(-frame_len // hop)  # rows of the hop grid a frame spans
+    bf = min(block_frames, max_frames)
+    nb = -(-max_frames // bf)
+    t_pad = nb * bf
+    # Per-utterance row budget: t_pad frames + (k-1) rows of lookahead.
+    n_need = (t_pad + k - 1) * hop
+    if N < n_need:
+        y = jnp.pad(y, ((0, 0), (0, n_need - N)))
+    rows = y[:, :n_need].reshape(B * (t_pad + k - 1), hop)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _framed_kernel,
+            n_fft=n_fft,
+            floor=floor,
+            bf=bf,
+            hop=hop,
+            frame_len=frame_len,
+            k=k,
+        ),
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # waveform rows stay in HBM
+            pl.BlockSpec(
+                (wdft.shape[0], wdft.shape[1]),
+                lambda b, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (mel_fb.shape[0], mel_fb.shape[1]),
+                lambda b, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (post.shape[0], post.shape[1]),
+                lambda b, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bf, F_out),
+            lambda b, j, nb=nb: (b * nb + j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * t_pad, F_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bf + k - 1, hop), y.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * t_pad * frame_len * wdft.shape[1]
+            + 2 * B * t_pad * mel_fb.shape[0] * mel_fb.shape[1]
+            + 2 * B * t_pad * post.shape[0] * F_out,
+            bytes_accessed=y.dtype.itemsize * B * n_need
+            + 4 * B * t_pad * F_out,
+            transcendentals=B * t_pad * mel_fb.shape[1],
+        ),
+    )(rows, wdft, mel_fb, post)
+    return out.reshape(B, t_pad, F_out)[:, :max_frames]
