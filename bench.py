@@ -107,6 +107,9 @@ def main() -> None:
     p.add_argument("--frame-stack", type=int, default=None,
                    help="stack k frames before the BiLSTM (k x fewer "
                         "recurrence steps; bilstm model only)")
+    p.add_argument("--fused-scan", action="store_true",
+                   help="fwd+bwd directions in one scan per BiLSTM layer "
+                        "(half the sequential dispatches; bilstm only)")
     p.add_argument("--breakdown", action="store_true", default=True,
                    help="per-stage roofline breakdown (default on)")
     p.add_argument("--no-breakdown", dest="breakdown", action="store_false")
@@ -127,6 +130,8 @@ def main() -> None:
             model_over["scan_unroll"] = args.scan_unroll
         if args.frame_stack is not None:
             model_over["frame_stack"] = args.frame_stack
+        if args.fused_scan:
+            model_over["bilstm_fused_scan"] = True
     else:
         base = CONFIG5
         model_over = dict(

@@ -42,6 +42,11 @@ class ModelConfig:
     # LSTM recurrence unroll: higher amortizes loop overhead but multiplies
     # XLA compile time of every (bucket) program; 8 ~ throughput plateau.
     scan_unroll: int = 8
+    # Run both directions of each BiLSTM layer in ONE scan (half the
+    # sequential step dispatches; identical math — models/bilstm.py
+    # FusedBiLSTMLayer).  Changes the param tree, so it is a preset choice,
+    # not a runtime toggle.
+    bilstm_fused_scan: bool = False
     # Stack k consecutive frames ([B,T,F] -> [B,ceil(T/k),F*k]) before a
     # BiLSTM encoder: k x fewer sequential recurrence steps at the price of
     # a k x wider input matmul (Sak et al. 2015, PAPERS.md "Fast and
@@ -92,6 +97,7 @@ class CTCModel(nn.Module):
                 hidden=cfg.hidden,
                 dtype=cfg.dtype,
                 scan_unroll=cfg.scan_unroll,
+                fused_scan=cfg.bilstm_fused_scan,
                 name="encoder",
             )(h, lens)
         elif cfg.encoder_type == "conformer":

@@ -23,6 +23,7 @@ import flax.linen as nn
 # shard over 'model'; everything else replicates.
 LOGICAL_RULES = (
     ("batch", "data"),
+    ("direction", None),  # fused-BiLSTM stacked fwd/bwd leading axis
     ("embed", None),
     ("hidden", None),
     ("gates", "model"),
