@@ -94,6 +94,48 @@ def test_beam_matches_tf():
     assert got_ids == tf_ids
 
 
+def test_merge_impls_agree():
+    """Sort-based merge (searchsorted + per-target column fold) must equal
+    the all-pairs [W,V,W] match on random logits at widths 16 and 64."""
+    rng = np.random.default_rng(21)
+    for W in (16, 64):
+        for seed in range(3):
+            B, T, V = 3, 40, 30
+            logits = (rng.normal(size=(B, T, V)) * 2.5).astype(np.float32)
+            lens = np.array([40, 23, 7], dtype=np.int32)
+            outs = {}
+            for impl in ("sort", "allpairs"):
+                p, l, s = beam_search_decode(
+                    jnp.asarray(logits), jnp.asarray(lens), beam_width=W,
+                    max_label_len=T + 1, merge_impl=impl,
+                )
+                outs[impl] = (np.asarray(p), np.asarray(l), np.asarray(s))
+            pa, la, sa = outs["sort"]
+            pb, lb, sb = outs["allpairs"]
+            np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(la, lb)
+            for b in range(B):
+                for w in range(W):
+                    np.testing.assert_array_equal(
+                        pa[b, w, : la[b, w]], pb[b, w, : lb[b, w]]
+                    )
+
+
+def test_beam_long_sequence_matches_oracle():
+    """Long-T parity (VERDICT r2 item 5): unit tests previously stopped at
+    T<=40 while real utterances decode at T~900 — drive the on-device beam
+    against the host oracle at realistic length and vocab."""
+    rng = np.random.default_rng(22)
+    T, V, W = 900, 30, 16
+    # Speech-like emissions: mostly confident blanks with character bursts.
+    logits = rng.normal(size=(T, V)).astype(np.float32)
+    logits[:, 0] += 4.0  # blank-dominated
+    burst_t = rng.choice(T, size=60, replace=False)
+    burst_c = rng.integers(1, V, size=60)
+    logits[burst_t, burst_c] += 9.0
+    _check_beam_case(logits, T, W=W, k=4)
+
+
 def test_beam_respects_input_lens():
     rng = np.random.default_rng(4)
     T, V = 20, 6
