@@ -177,6 +177,11 @@ class Trainer:
         self.optimizer = make_optimizer(cfg)
         self._step_fns: dict[int, callable] = {}
         self._frontends: dict[int, callable] = {}
+        # Compiled eval programs, keyed per bucket/beam geometry — owned by
+        # the Trainer so repeated evaluate_corpus calls (--eval-every, the
+        # WER ladder) re-trace nothing (VERDICT r2 item 8).
+        self.eval_fwd_fns: dict[tuple, callable] = {}
+        self.eval_beam_fns: dict[tuple, callable] = {}
 
         # Init params on a representative (smallest-bucket) shape.
         b0 = self.buckets[0]

@@ -30,7 +30,13 @@ class Checkpointer:
             ),
         )
 
-    def save(self, step: int, state, meta: dict) -> None:
+    def save(self, step: int, state, meta: dict, blocking: bool = False) -> None:
+        """Async by default (VERDICT r2 item 8): orbax copies device arrays
+        to host synchronously (so the step loop may immediately donate/
+        overwrite them) and streams the disk write in the background; the
+        step loop no longer stalls for the serialize+write.  A still-running
+        previous save is drained first (orbax requirement), which only
+        bites if saves are issued faster than the disk writes them."""
         self.manager.save(
             step,
             args=ocp.args.Composite(
@@ -38,9 +44,14 @@ class Checkpointer:
                 meta=ocp.args.JsonSave(meta),
             ),
         )
+        if blocking:
+            self.manager.wait_until_finished()
+
+    def wait(self) -> None:
         self.manager.wait_until_finished()
 
     def latest_step(self) -> int | None:
+        self.manager.wait_until_finished()  # surface in-flight saves
         return self.manager.latest_step()
 
     def restore(self, abstract_state, step: int | None = None):
@@ -58,6 +69,8 @@ class Checkpointer:
         return restored["state"], restored["meta"]
 
     def close(self) -> None:
+        """Blocks until any in-flight async save has fully landed."""
+        self.manager.wait_until_finished()
         self.manager.close()
 
 

@@ -93,6 +93,51 @@ def test_checkpoint_roundtrip(tmp_path, tiny_cfg):
     np.testing.assert_allclose(resumed_loss, ref_loss, rtol=1e-5, atol=1e-6)
 
 
+def test_async_checkpoint_survives_donated_steps(tmp_path, tiny_cfg):
+    """save() is async (VERDICT r2 item 8): the step loop continues — and
+    DONATES the state buffers — while the write streams out.  The restored
+    checkpoint must equal the state at save time, not any later step
+    (orbax D2H-copies synchronously before save() returns)."""
+    from neuralasr_tpu.utils.checkpoint import Checkpointer, abstract_like
+
+    tr = Trainer(tiny_cfg)
+    batch = next(iter(tr.loader.epoch(0)))
+    tr.train_batch(batch)
+    snap = jax.tree.map(np.asarray, tr.state["params"])
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(tr.step, tr.state, {"step": tr.step, "config": "t"})
+    for _ in range(5):  # donate/overwrite state while the save is in flight
+        tr.train_batch(batch)
+    state, meta = ckpt.restore(abstract_like(tr.state))
+    ckpt.close()
+    assert meta["step"] == 1
+    for a, b in zip(
+        jax.tree.leaves(snap), jax.tree.leaves(state["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_programs_cached_on_trainer(tiny_cfg):
+    """Second evaluate_corpus call must reuse the Trainer-held compiled
+    programs — no new cache entries, no re-trace (VERDICT r2 weak #4)."""
+    from neuralasr_tpu.evaluation import evaluate_corpus
+    from neuralasr_tpu.training import make_corpus
+
+    tr = Trainer(tiny_cfg)
+    corpus = make_corpus(tiny_cfg, eval_split=True)
+    evaluate_corpus(tr, corpus, max_utts=8, beam_width=4)
+    fwd_ids = {k: id(v) for k, v in tr.eval_fwd_fns.items()}
+    beam_keys = set(tr.eval_beam_fns)
+    assert fwd_ids and beam_keys
+    traces = {k: v._cache_size() for k, v in tr.eval_fwd_fns.items()}
+    evaluate_corpus(tr, corpus, max_utts=8, beam_width=4)
+    assert {k: id(v) for k, v in tr.eval_fwd_fns.items()} == fwd_ids
+    assert set(tr.eval_beam_fns) == beam_keys
+    # Reused programs hit the jit cache: no additional traces recorded.
+    assert {k: v._cache_size() for k, v in tr.eval_fwd_fns.items()} == traces
+
+
 def test_checkpoint_restore_empty(tmp_path):
     from neuralasr_tpu.utils.checkpoint import Checkpointer
 
