@@ -60,6 +60,14 @@ def write_shards(
             os.path.join(out_dir, shard_name + ".meta.npz"),
             offsets=offsets,
             transcripts=np.asarray(texts, dtype=object),
+            # Length metadata baked in at prep time: BucketedLoader init
+            # reads ONLY these arrays (never transcripts/audio) to bucket a
+            # corpus, so init cost is two small array loads per shard
+            # instead of a Python loop over every utterance (VERDICT r2
+            # item 6).
+            label_lens=np.asarray(
+                [len(encode(t)) for t in texts], dtype=np.int32
+            ),
         )
         manifest["shards"].append(
             {
@@ -107,6 +115,8 @@ class PackedCorpus:
                 "offsets": meta["offsets"],
                 "transcripts": meta["transcripts"],
             }
+            if "label_lens" in meta.files:
+                self._shards[si]["label_lens"] = meta["label_lens"]
         return self._shards[si]
 
     def __len__(self) -> int:
@@ -129,6 +139,26 @@ class PackedCorpus:
         si, li = self._index[index]
         off = self._shard(si)["offsets"]
         return int(off[li + 1] - off[li])
+
+    def lengths(self) -> tuple[np.ndarray, np.ndarray]:
+        """(num_samples [N], label_lens [N]) without touching audio or (for
+        current-format shards) transcripts — the loader's vectorized
+        bucketing input.  Shards packed before label_lens existed fall back
+        to encoding transcripts here, once."""
+        ns, ls = [], []
+        for si in range(len(self.manifest["shards"])):
+            sh = self._shard(si)
+            ns.append(np.diff(sh["offsets"]).astype(np.int64))
+            if "label_lens" in sh:
+                ls.append(sh["label_lens"])
+            else:  # legacy shard: derive and keep
+                ls.append(
+                    np.asarray(
+                        [len(encode(str(t))) for t in sh["transcripts"]],
+                        dtype=np.int32,
+                    )
+                )
+        return np.concatenate(ns), np.concatenate(ls)
 
 
 def main() -> None:

@@ -1,0 +1,143 @@
+"""960h-shaped data-path exercise (VERDICT r2 item 6).
+
+Builds (once) a >=100k-utterance int16 packed synthetic corpus, then
+measures the loader path at that scale:
+
+  - pack time (first run only) and on-disk size
+  - PackedCorpus open + BucketedLoader init time (vectorized bucketing
+    reads only shard length metadata)
+  - steady-state host materialize throughput (audio-s/s of Batch assembly,
+    no device in the loop)
+  - peak RSS across the run (mmap-backed shards must not pull the corpus
+    into RAM)
+  - optionally (--train-steps N) real train steps through the corpus
+
+Prints one JSON line; append it to BASELINE.md's corpus-scale row.
+
+    python tools/corpus_scale.py --utts 100000 [--train-steps 200 --cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import time
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--utts", type=int, default=100_000)
+    p.add_argument("--dir", default="runs/corpus_100k")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batches", type=int, default=200,
+                   help="batches to materialize for the host-throughput row")
+    p.add_argument("--train-steps", type=int, default=0,
+                   help="also run N conformer train steps through it")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from neuralasr_tpu.data import BucketedLoader, SyntheticCorpus
+    from neuralasr_tpu.data.buckets import default_buckets
+    from neuralasr_tpu.data.prepare import PackedCorpus, write_shards
+
+    out = {"metric": "corpus_scale", "utts": args.utts}
+
+    manifest = os.path.join(args.dir, "manifest.json")
+    if not os.path.exists(manifest):
+        corpus = SyntheticCorpus(args.utts, seed=args.seed)
+        t0 = time.time()
+        write_shards(corpus, args.dir, shard_size=2048, dtype=np.int16)
+        out["pack_wall_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    packed = PackedCorpus(args.dir)
+    out["open_s"] = round(time.time() - t0, 3)
+    assert len(packed) == args.utts, (len(packed), args.utts)
+    size = sum(
+        os.path.getsize(os.path.join(args.dir, f))
+        for f in os.listdir(args.dir)
+    )
+    out["disk_gb"] = round(size / 1e9, 2)
+
+    t0 = time.time()
+    loader = BucketedLoader(packed, default_buckets(32), seed=0)
+    out["loader_init_s"] = round(time.time() - t0, 3)
+    out["audio_hours"] = round(
+        sum(s["audio_samples"] for s in packed.manifest["shards"])
+        / 16000 / 3600, 1,
+    )
+
+    # Host-side materialize throughput (the producer half of the prefetched
+    # pipeline): audio-s assembled per wall-second.
+    t0 = time.time()
+    audio_s = 0.0
+    n = 0
+    for batch in loader.epoch(0):
+        audio_s += float(batch.wav_lens.sum()) / 16000
+        n += 1
+        if n >= args.batches:
+            break
+    dt = time.time() - t0
+    out["materialize_batches"] = n
+    out["materialize_audio_s_per_s"] = round(audio_s / dt, 1)
+    out["rss_gb"] = round(rss_gb(), 2)
+
+    if args.train_steps:
+        import dataclasses
+
+        import jax
+
+        from neuralasr_tpu.configs import CONFIG5
+        from neuralasr_tpu.data.prefetch import DevicePrefetcher
+        from neuralasr_tpu.training import Trainer
+        from neuralasr_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        cfg = dataclasses.replace(
+            CONFIG5, cache_dir="", num_utterances=args.utts, batch_size=32
+        )
+        trainer = Trainer(cfg)
+        trainer.corpus = packed
+        trainer.loader = loader
+        t0 = time.time()
+        audio_s, steps = 0.0, 0
+        t_warm = None
+        prefetch = DevicePrefetcher(loader.epoch(0), trainer.put_batch)
+        try:
+            for batch, dev_args in prefetch:
+                trainer.train_batch_device(batch.bucket, dev_args)
+                steps += 1
+                if steps == 10:  # past the compile wall: restart the clock
+                    jax.block_until_ready(trainer.state["params"])
+                    t_warm, audio_s = time.time(), 0.0
+                elif steps > 10:
+                    audio_s += trainer.batch_audio_s(batch)
+                if steps >= args.train_steps + 10:
+                    break
+        finally:
+            prefetch.close()
+        jax.block_until_ready(trainer.state["params"])
+        out["train_steps"] = steps - 10
+        out["train_wall_audio_s_per_s"] = round(
+            audio_s / max(time.time() - t_warm, 1e-9), 1
+        )
+        out["rss_after_train_gb"] = round(rss_gb(), 2)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
