@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 
 import numpy as np
@@ -113,6 +114,11 @@ def main() -> None:
     p.add_argument("--breakdown", action="store_true", default=True,
                    help="per-stage roofline breakdown (default on)")
     p.add_argument("--no-breakdown", dest="breakdown", action="store_false")
+    p.add_argument("--ckpt", default=None, metavar="WORKDIR",
+                   help="restore params from WORKDIR/ckpt and bench decode "
+                        "on REAL synthetic-speech emissions — the measured "
+                        "(non-simulated) blank-collapse numbers "
+                        "(VERDICT r2 item 9)")
     args = p.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -174,11 +180,50 @@ def main() -> None:
     spec = trainer.buckets[bucket]
     rng = np.random.default_rng(0)
     B = spec.batch_size
-    wav = (rng.normal(size=(B, spec.max_samples)) * 1000).astype(np.int16)
-    wav_lens = np.full((B,), spec.max_samples, np.int32)
-    labels = rng.integers(1, 29, size=(B, spec.max_label_len)).astype(np.int32)
-    label_lens = np.full((B,), spec.max_label_len, np.int32)
-    weights = np.ones((B,), np.float32)
+    if args.ckpt:
+        # Real synthetic-speech utterances sized for this bucket, so a
+        # restored checkpoint emits its true (blank-dominated) posterior
+        # statistics for the measured blank-collapse rows below.
+        from neuralasr_tpu.data.synthetic import SyntheticCorpus
+        from neuralasr_tpu.text import encode
+        from neuralasr_tpu.utils.checkpoint import (
+            Checkpointer, abstract_like,
+        )
+
+        sc = SyntheticCorpus(
+            B, seed=123, min_words=9, max_words=12,
+            char_dur_ms=cfg.synth_char_ms,
+        )
+        wav = np.zeros((B, spec.max_samples), np.int16)
+        wav_lens = np.zeros((B,), np.int32)
+        labels = np.zeros((B, spec.max_label_len), np.int32)
+        label_lens = np.zeros((B,), np.int32)
+        for r in range(B):
+            w = sc.waveform(r)[: spec.max_samples]
+            wav[r, : len(w)] = np.clip(
+                np.rint(w), -32768, 32767
+            ).astype(np.int16)
+            wav_lens[r] = len(w)
+            lab = encode(sc.transcript(r))[: spec.max_label_len]
+            labels[r, : len(lab)] = lab
+            label_lens[r] = len(lab)
+        weights = np.ones((B,), np.float32)
+        ck = Checkpointer(os.path.join(args.ckpt, "ckpt"))
+        state, meta = ck.restore(abstract_like(trainer.state))
+        ck.close()
+        if state is None:
+            raise SystemExit(f"no checkpoint under {args.ckpt}/ckpt")
+        trainer.state = state
+        print(f"[bench] restored step {meta['step']} from {args.ckpt}",
+              flush=True)
+    else:
+        wav = (rng.normal(size=(B, spec.max_samples)) * 1000).astype(np.int16)
+        wav_lens = np.full((B,), spec.max_samples, np.int32)
+        labels = rng.integers(1, 29, size=(B, spec.max_label_len)).astype(
+            np.int32
+        )
+        label_lens = np.full((B,), spec.max_label_len, np.int32)
+        weights = np.ones((B,), np.float32)
 
     from neuralasr_tpu.data.loader import Batch
 
@@ -296,49 +341,68 @@ def main() -> None:
     )
     beam_tp = audio_s / dt_b
 
-    # Trained CTC models emit ~60-80% confident-blank frames, which is what
-    # blank-collapse exploits; this bench's model is untrained (uniform
-    # posteriors), so the path above measures the no-collapse worst case.
-    # Simulate trained-regime emission statistics (75% high-blank frames)
-    # to measure the collapsed-scan throughput the eval path actually sees.
+    # Blank-collapse throughput.  With --ckpt the emissions are REAL (a
+    # trained checkpoint on real synthetic speech): the measured numbers at
+    # thresholds 0.999 and 0.9999 replace round-2's simulated figure
+    # (VERDICT r2 item 9).  Without a checkpoint the model is untrained
+    # (near-uniform posteriors, nothing collapses), so trained-regime
+    # statistics (75% high-blank frames) are SIMULATED via a logit boost —
+    # reported under an explicitly "simulated" key.
+    collapsed_rows = {}
     lp_once, lens_once = posteriors(trainer.state["params"], wj, wl)
     T_full = lp_once.shape[1]
-    rngb = np.random.default_rng(1)
-    blank_rows = rngb.random((B, T_full)) < 0.75
-    boost = jnp.where(jnp.asarray(blank_rows), 12.0, 0.0)
+    if args.ckpt:
+        thresholds = [(0.999, "999"), (0.9999, "9999")]
+        boost = None
+    else:
+        thresholds = [(0.999, "simulated")]
+        rngb = np.random.default_rng(1)
+        blank_rows = rngb.random((B, T_full)) < 0.75
+        boost = jnp.where(jnp.asarray(blank_rows), 12.0, 0.0)
 
-    @jax.jit
-    def blankdom_posteriors(params, wav, wav_lens):
-        feats, feat_lens = frontend(wav, wav_lens)
-        logits, out_lens = trainer.model.apply(
-            {"params": params}, feats, feat_lens, train=False
+    for thresh, tag in thresholds:
+
+        @jax.jit
+        def collapsed_posteriors(params, wav, wav_lens, _th=thresh):
+            feats, feat_lens = frontend(wav, wav_lens)
+            logits, out_lens = trainer.model.apply(
+                {"params": params}, feats, feat_lens, train=False
+            )
+            logits = logits.astype(jnp.float32)
+            if boost is not None:
+                logits = logits.at[:, :, 0].add(boost)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            return blank_collapse(lp, out_lens, threshold=_th)
+
+        lp_c2, lens_c2 = collapsed_posteriors(trainer.state["params"], wj, wl)
+        T_c2 = int(
+            min(
+                lp_c2.shape[1],
+                max(64, -(-int(np.max(np.asarray(lens_c2))) // 64) * 64),
+            )
         )
-        logits = logits.astype(jnp.float32).at[:, :, 0].add(boost)
-        lp = jax.nn.log_softmax(logits, axis=-1)
-        return blank_collapse(lp, out_lens, threshold=0.999)
 
-    lp_c2, lens_c2 = blankdom_posteriors(trainer.state["params"], wj, wl)
-    T_c2 = int(
-        min(
-            lp_c2.shape[1],
-            max(64, -(-int(np.max(np.asarray(lens_c2))) // 64) * 64),
+        @jax.jit
+        def beam_step_collapsed(params, wav, wav_lens, _th=thresh, _T=T_c2):
+            lp, lens = collapsed_posteriors(params, wav, wav_lens, _th)
+            return beam_search_decode(
+                lp[:, :_T], lens, beam_width=16, max_label_len=max_label
+            )
+
+        jax.block_until_ready(
+            beam_step_collapsed(trainer.state["params"], wj, wl)
         )
-    )
-
-    @jax.jit
-    def beam_step_collapsed(params, wav, wav_lens):
-        lp, lens = blankdom_posteriors(params, wav, wav_lens)
-        return beam_search_decode(
-            lp[:, :T_c2], lens, beam_width=16, max_label_len=max_label
+        dt_bc = _timeit(
+            lambda: beam_step_collapsed(trainer.state["params"], wj, wl),
+            iters,
+            jax.block_until_ready,
         )
-
-    jax.block_until_ready(beam_step_collapsed(trainer.state["params"], wj, wl))
-    dt_bc = _timeit(
-        lambda: beam_step_collapsed(trainer.state["params"], wj, wl),
-        iters,
-        jax.block_until_ready,
-    )
-    beam_collapsed_tp = audio_s / dt_bc
+        collapsed_rows[f"beam16_collapsed_{tag}_audio_s_per_s_per_chip"] = (
+            round(audio_s / dt_bc, 2)
+        )
+        collapsed_rows[f"beam16_collapsed_{tag}_frames_kept"] = round(
+            T_c2 / T_full, 3
+        )
 
     # ---------------- per-stage roofline breakdown ----------------
     breakdown = {}
@@ -422,8 +486,8 @@ def main() -> None:
         ),
         "decode_audio_s_per_s_per_chip": round(decode_tp, 2),
         "beam16_audio_s_per_s_per_chip": round(beam_tp, 2),
-        "beam16_collapsed_audio_s_per_s_per_chip": round(beam_collapsed_tp, 2),
-        "beam16_collapsed_frames_kept": round(T_c2 / T_full, 3),
+        **collapsed_rows,
+        "emissions": "trained_ckpt" if args.ckpt else "untrained",
         "pipeline_audio_s_per_s_prefetched": round(pipeline_tp, 2),
         "backend": jax.default_backend(),
         "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
