@@ -30,6 +30,20 @@ def rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
+def rss_split_gb() -> dict:
+    """(anon, file) resident GB.  Anon = process-owned RAM; file = clean
+    page-cache pages of the mmap'd shards, evictable under pressure — the
+    number that must stay FLAT for 'a 960h corpus never has to fit in RAM'
+    to hold is anon."""
+    out = {}
+    with open("/proc/self/status") as f:
+        for line in f:
+            key = line.split(":")[0]
+            if key in ("RssAnon", "RssFile"):
+                out[key] = round(int(line.split()[1]) / 1e6, 3)
+    return {"rss_anon_gb": out.get("RssAnon"), "rss_file_gb": out.get("RssFile")}
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--utts", type=int, default=100_000)
@@ -94,6 +108,7 @@ def main() -> None:
     out["materialize_batches"] = n
     out["materialize_audio_s_per_s"] = round(audio_s / dt, 1)
     out["rss_gb"] = round(rss_gb(), 2)
+    out.update(rss_split_gb())
 
     if args.train_steps:
         import dataclasses

@@ -65,6 +65,13 @@ def worker(args) -> None:
         specaugment=True,
         cache_dir="",
     )
+    if jax.default_backend() != "tpu" and cfg.model.use_pallas_attention:
+        # Interpret-mode Pallas would dominate simulated-CPU numbers; the
+        # efficiency column only needs the collective path to be real.
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, use_pallas_attention=False),
+        )
     n_chips = jax.device_count()
     mesh = make_mesh(n_chips, model_axis=args.model_axis)
     trainer = Trainer(
