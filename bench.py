@@ -111,6 +111,11 @@ def main() -> None:
     p.add_argument("--fused-scan", action="store_true",
                    help="fwd+bwd directions in one scan per BiLSTM layer "
                         "(half the sequential dispatches; bilstm only)")
+    p.add_argument("--beam-width", type=int, default=16)
+    p.add_argument("--beam-merge", default="sort",
+                   choices=["sort", "allpairs"],
+                   help="duplicate-prefix merge: sorted hash search "
+                        "(W V logW) vs all-pairs match tensor (W^2 V)")
     p.add_argument("--breakdown", action="store_true", default=True,
                    help="per-stage roofline breakdown (default on)")
     p.add_argument("--no-breakdown", dest="breakdown", action="store_false")
@@ -330,7 +335,8 @@ def main() -> None:
     def beam_step(params, wav, wav_lens):
         lp, lens = posteriors(params, wav, wav_lens)
         return beam_search_decode(
-            lp[:, :T_c], lens, beam_width=16, max_label_len=max_label
+            lp[:, :T_c], lens, beam_width=args.beam_width,
+            max_label_len=max_label, merge_impl=args.beam_merge,
         )
 
     jax.block_until_ready(beam_step(trainer.state["params"], wj, wl))
@@ -386,7 +392,8 @@ def main() -> None:
         def beam_step_collapsed(params, wav, wav_lens, _th=thresh, _T=T_c2):
             lp, lens = collapsed_posteriors(params, wav, wav_lens, _th)
             return beam_search_decode(
-                lp[:, :_T], lens, beam_width=16, max_label_len=max_label
+                lp[:, :_T], lens, beam_width=args.beam_width,
+                max_label_len=max_label, merge_impl=args.beam_merge,
             )
 
         jax.block_until_ready(
@@ -486,6 +493,8 @@ def main() -> None:
         ),
         "decode_audio_s_per_s_per_chip": round(decode_tp, 2),
         "beam16_audio_s_per_s_per_chip": round(beam_tp, 2),
+        "beam_width": args.beam_width,
+        "beam_merge": args.beam_merge,
         **collapsed_rows,
         "emissions": "trained_ckpt" if args.ckpt else "untrained",
         "pipeline_audio_s_per_s_prefetched": round(pipeline_tp, 2),

@@ -18,16 +18,29 @@ import bench
 
 
 VARIANTS = [
+    # Flagship: batch 64 bf16 + framed Pallas frontend is now the default.
     ("conformer_default", []),
-    ("conformer_partitioned_attn", ["--partition-attention"]),
+    ("conformer_batch32", ["--batch", "32"]),  # round-2 comparison point
     ("conformer_frontend_gather", ["--frontend", "gather"]),
     ("conformer_frontend_conv", ["--frontend", "conv"]),
-    ("conformer_batch64", ["--batch", "64"]),
+    ("conformer_partitioned_attn", ["--partition-attention"]),
+    # Measured (non-simulated) blank-collapse rows on the trained ckpt.
+    ("conformer_ckpt_collapse", ["--ckpt", "runs/conformer_r2",
+                                 "--no-breakdown"]),
+    # Beam merge A/B at widths 16 and 64 (VERDICT r2 item 10).
+    ("conformer_beam16_allpairs", ["--beam-merge", "allpairs",
+                                   "--no-breakdown"]),
+    ("conformer_beam64_sort", ["--beam-width", "64", "--no-breakdown"]),
+    ("conformer_beam64_allpairs", ["--beam-width", "64", "--beam-merge",
+                                   "allpairs", "--no-breakdown"]),
+    # BiLSTM family: fused-scan A/B (VERDICT r2 item 3) + round-2 rows.
     ("bilstm_default", ["--model", "bilstm4x512", "--no-breakdown"]),
-    ("bilstm_unroll16", ["--model", "bilstm4x512", "--scan-unroll", "16",
-                         "--no-breakdown"]),
+    ("bilstm_fused", ["--model", "bilstm4x512", "--fused-scan",
+                      "--no-breakdown"]),
     ("bilstm_framestack3", ["--model", "bilstm4x512", "--frame-stack", "3",
                             "--no-breakdown"]),
+    ("bilstm_fused_framestack3", ["--model", "bilstm4x512", "--fused-scan",
+                                  "--frame-stack", "3", "--no-breakdown"]),
 ]
 
 
