@@ -197,11 +197,15 @@ def main() -> None:
     w = trainer.greedy_wer(eval_corpus)
     logger.log(step=trainer.step, eval_greedy_wer=w, final=True,
                total_wall_s=time.time() - t_start)
+    # Final save marks the run COMPLETE: epoch == cfg.epochs with
+    # batch_index -1 makes a later --resume start past the last epoch
+    # (no silent partial retrain of epoch N-1, which the round-2 metadata
+    # caused).
     ckpt.save(
         trainer.step,
         trainer.state,
-        {"step": trainer.step, "epoch": cfg.epochs - 1,
-         "batch_index": 0, "config": cfg.to_json()},
+        {"step": trainer.step, "epoch": cfg.epochs,
+         "batch_index": -1, "config": cfg.to_json()},
     )
     ckpt.close()
     print(f"[train] done: step={trainer.step} eval_greedy_wer={w:.4f}",

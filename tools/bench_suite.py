@@ -44,13 +44,17 @@ VARIANTS = [
 ]
 
 
-def main():
+def main(default_args=()):
+    """default_args: appended to every variant (e.g. ['--frontend', 'conv']
+    when the campaign preflight found the framed Pallas kernel unbuildable
+    on this backend).  Explicit per-variant flags win (argparse last-wins
+    doesn't apply across different flags, so defaults go FIRST)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo, "runs", "bench_suite.jsonl")
     for name, argv in VARIANTS:
         print(f"== bench variant: {name}", flush=True)
         old = sys.argv
-        sys.argv = ["bench.py"] + argv
+        sys.argv = ["bench.py"] + list(default_args) + argv
         buf = io.StringIO()
         try:
             with contextlib.redirect_stdout(buf):

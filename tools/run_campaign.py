@@ -18,10 +18,52 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def preflight_framed_frontend() -> bool:
+    """Compile+run the framing-fused Pallas kernel on the live backend with
+    bench-like shapes.  False -> the bench stage falls back to the conv
+    frontend instead of dying mid-campaign (each TPU process exit wedges
+    the axon tunnel for 10-35 min, so in-process fallback beats retry)."""
+    try:
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from neuralasr_tpu.features.frontend import (
+            LOG_FLOOR, _dft_matrices, mel_filterbank,
+        )
+        from neuralasr_tpu.ops.pallas_frontend import fused_frontend_framed
+
+        window = np.hamming(400)
+        C, S = _dft_matrices(400, 512)
+        wdft = jnp.asarray(
+            np.concatenate([window[:, None] * C, window[:, None] * S], 1),
+            jnp.bfloat16,
+        )
+        fb = jnp.asarray(mel_filterbank(80, 512, 16000), jnp.float32)
+        post = jnp.eye(80, dtype=jnp.float32)
+        y = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 160000)), jnp.bfloat16
+        )
+        out = fused_frontend_framed(
+            y, 512, wdft, fb, post, 512, LOG_FLOOR, 160, 400
+        )
+        jax.block_until_ready(out)
+        ok = bool(np.isfinite(np.asarray(out)).all())
+        print(f"[campaign] framed-frontend preflight: ok={ok}", flush=True)
+        return ok
+    except Exception:
+        print("[campaign] framed-frontend preflight FAILED:\n"
+              + traceback.format_exc()[-600:], flush=True)
+        return False
+
+
 def stage_bench():
     from tools import bench_suite
 
-    bench_suite.main()
+    default_args = () if preflight_framed_frontend() else (
+        "--frontend", "conv",
+    )
+    bench_suite.main(default_args)
 
 
 def stage_corpus():
