@@ -34,16 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _spectrum_to_features(frames, wdft, mel, post, n_fft, floor):
-    """Shared VMEM pipeline: frames [BF, frame_len] -> features [BF, F_out].
-    Matmul inputs may be bf16 (compute_dtype knob); the MXU accumulates in
-    f32 (preferred_element_type) and power/log run in f32."""
-    m = jax.lax.dot_general(
-        frames,
-        wdft,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [BF, 2*(n_fft//2+1)] — windowed rDFT (re | im halves)
+def _power_mel_post(m, mel, post, n_fft, floor):
+    """Spectrum halves -> power -> mel -> log -> post matmul, all in VMEM."""
     nb = m.shape[1] // 2
     p = (m[:, :nb] ** 2 + m[:, nb:] ** 2) * (1.0 / n_fft)
     mel_out = jax.lax.dot_general(
@@ -59,6 +51,19 @@ def _spectrum_to_features(frames, wdft, mel, post, n_fft, floor):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _spectrum_to_features(frames, wdft, mel, post, n_fft, floor):
+    """Shared VMEM pipeline: frames [BF, frame_len] -> features [BF, F_out].
+    Matmul inputs may be bf16 (compute_dtype knob); the MXU accumulates in
+    f32 (preferred_element_type) and power/log run in f32."""
+    m = jax.lax.dot_general(
+        frames,
+        wdft,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BF, 2*(n_fft//2+1)] — windowed rDFT (re | im halves)
+    return _power_mel_post(m, mel, post, n_fft, floor)
 
 
 def _kernel(frames_ref, wdft_ref, mel_ref, post_ref, out_ref, *, n_fft, floor):
@@ -151,13 +156,26 @@ def _framed_kernel(
     dma.start()
     dma.wait()
     rows = scratch[:]
-    # Frame i spans rows i..i+k-1 of the hop grid: assemble all bf frames
-    # from k static shifted slices — no gather, no dynamic indexing.
-    pieces = [rows[i : bf + i] for i in range(k - 1)]
-    pieces.append(rows[k - 1 : bf + k - 1, : frame_len - (k - 1) * hop])
-    frames = jnp.concatenate(pieces, axis=1)  # [bf, frame_len]
-    out_ref[:] = _spectrum_to_features(
-        frames, wdft_ref[:], mel_ref[:], post_ref[:], n_fft, floor
+    # Frame i spans rows i..i+k-1 of the hop grid.  Rather than
+    # CONCATENATING the k shifted row-slices into a [bf, frame_len] frames
+    # matrix (Mosaic cannot lower a lane-dimension concatenate of
+    # non-128-aligned pieces — hop=160), split the DFT contraction itself:
+    #   frames @ wdft == sum_i rows[i:bf+i, :w_i] @ wdft[i*hop : i*hop+w_i]
+    # k sublane-shifted matmuls accumulated in f32 on the MXU; the frames
+    # matrix never exists even in VMEM.
+    m = None
+    for i in range(k):
+        lo = i * hop
+        width = min(hop, frame_len - lo)
+        part = jax.lax.dot_general(
+            rows[i : bf + i, :width],
+            wdft_ref[lo : lo + width, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = part if m is None else m + part
+    out_ref[:] = _power_mel_post(
+        m, mel_ref[:], post_ref[:], n_fft, floor
     )
 
 
