@@ -111,6 +111,9 @@ def main() -> None:
     p.add_argument("--fused-scan", action="store_true",
                    help="fwd+bwd directions in one scan per BiLSTM layer "
                         "(half the sequential dispatches; bilstm only)")
+    p.add_argument("--ctc-impl", default="scan", choices=["scan", "pallas"],
+                   help="CTC recursions: XLA scan or single Pallas kernels "
+                        "(ops/pallas_ctc.py)")
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--beam-merge", default="sort",
                    choices=["sort", "allpairs"],
@@ -155,6 +158,7 @@ def main() -> None:
         batch_size=args.batch * 4,  # bucket ladder halves bs twice by 9.5 s
         specaugment=True,
         cache_dir="",
+        ctc_impl=args.ctc_impl,
         features=dataclasses.replace(
             base.features,
             use_pallas=args.frontend == "pallas" and on_tpu,
@@ -436,14 +440,15 @@ def main() -> None:
 
         @jax.jit
         def ctc_only(logits, out_lens):
-            return ctc_loss(logits, lj, out_lens, llj).sum()
+            return ctc_loss(logits, lj, out_lens, llj,
+                            impl=args.ctc_impl).sum()
 
         @jax.jit
         def loss_and_grad(params, feats, feat_lens):
             def f(p):
                 lg, ol = model.apply({"params": p}, feats, feat_lens,
                                      train=False)
-                per = ctc_loss(lg, lj, ol, llj)
+                per = ctc_loss(lg, lj, ol, llj, impl=args.ctc_impl)
                 return jnp.where(per > 1e29, 0.0, per).mean()
 
             return jax.value_and_grad(f)(params)

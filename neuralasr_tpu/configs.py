@@ -59,6 +59,10 @@ class TrainConfig:
     eval_utts: int = 0  # 0 -> max(num_utterances // 8, 16)
     eval_noise_level: Optional[float] = None  # None -> train noise (0.05)
     eval_formant_shift_hz: float = 0.0
+    # CTC loss implementation: "scan" (XLA lax.scan recursions) or "pallas"
+    # (single-kernel VMEM-resident recursions, ops/pallas_ctc.py) — same
+    # numbers, benched on TPU in tools/bench_suite.py.
+    ctc_impl: str = "scan"
     # corpus cache: "auto" packs synthetic corpora >= 2048 utts to disk once
     # (int16 shards, mmap reads thereafter — epochs stop re-synthesizing
     # formants); "" disables; any other string is the cache directory.

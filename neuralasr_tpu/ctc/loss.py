@@ -80,6 +80,7 @@ def ctc_loss(
     blank_id: int = 0,
     log_probs_in: bool = False,
     grad: str = "fb",  # "fb" = hand-written alpha-beta vjp; "autodiff"
+    impl: str = "scan",  # "scan" (XLA lax.scan) | "pallas" (ops/pallas_ctc)
 ) -> jnp.ndarray:
     """Per-utterance CTC negative log-likelihood, shape [B].
 
@@ -88,10 +89,19 @@ def ctc_loss(
 
     grad="fb" uses the analytic alpha-beta gradient (the reference's C++
     `ctc_loss_calculator` computes exactly this): residuals are just the
-    alpha lattice, the backward is one beta scan plus a [S,V] one-hot matmul
-    on the MXU — leaner than autodiff-through-scan.
+    alpha lattice, the backward is one beta scan plus a per-class
+    occupancy contraction — leaner than autodiff-through-scan.
+
+    impl="pallas" runs both recursions as single Pallas kernels with the
+    lattice state resident in VMEM (ops/pallas_ctc.py) — the same numbers
+    (tests/test_pallas_ctc.py) without the XLA scan's per-iteration
+    latency.  Only valid with grad="fb" and raw logits.
     """
     if grad == "fb" and not log_probs_in:
+        if impl == "pallas":
+            return _ctc_loss_fb_pallas(
+                logits, labels, input_lens, label_lens, blank_id
+            )
         return _ctc_loss_fb(logits, labels, input_lens, label_lens, blank_id)
     lp = logits if log_probs_in else jax.nn.log_softmax(logits, axis=-1)
     ll = ctc_forward(lp, labels, input_lens, label_lens, blank_id)
@@ -269,6 +279,54 @@ def _ctc_fb_bwd(blank_id, res, g):
 
 
 _ctc_loss_fb.defvjp(_ctc_fb_fwd, _ctc_fb_bwd)
+
+
+# ---------------- Pallas-kernel variant (ops/pallas_ctc.py) ----------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ctc_loss_fb_pallas(logits, labels, input_lens, label_lens, blank_id):
+    out, _ = _ctc_fb_pallas_fwd(
+        logits, labels, input_lens, label_lens, blank_id
+    )
+    return out
+
+
+def _ctc_fb_pallas_fwd(logits, labels, input_lens, label_lens, blank_id):
+    from ..ops.pallas_ctc import ctc_alpha_forward
+
+    B, T, V = logits.shape
+    L = labels.shape[1]
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    ext, allow_skip, state_valid = _lattice(labels, label_lens, blank_id, B, L)
+    lp_tm = jnp.transpose(lp, (1, 0, 2)).astype(jnp.float32)
+    ll, alphas = ctc_alpha_forward(
+        lp_tm, ext, allow_skip, state_valid, input_lens, label_lens
+    )
+    res = (lp, alphas, ll, ext, allow_skip, state_valid,
+           input_lens, label_lens)
+    return -ll, res
+
+
+def _ctc_fb_pallas_bwd(blank_id, res, g):
+    from ..ops.pallas_ctc import ctc_beta_occupancy
+
+    (lp, alphas, ll, ext, allow_skip, state_valid,
+     input_lens, label_lens) = res
+    B, T, V = lp.shape
+    lp_tm = jnp.transpose(lp, (1, 0, 2)).astype(jnp.float32)
+    occ = ctc_beta_occupancy(
+        lp_tm, alphas, ext, allow_skip, state_valid,
+        input_lens, label_lens, ll,
+    )  # [T, B, V]
+    occ = jnp.transpose(occ, (1, 0, 2))
+    y = jnp.exp(lp)
+    valid_t = (jnp.arange(T)[None, :] < input_lens[:, None])[:, :, None]
+    grad = jnp.where(valid_t, y - occ, 0.0) * g[:, None, None]
+    return grad.astype(lp.dtype), None, None, None
+
+
+_ctc_loss_fb_pallas.defvjp(_ctc_fb_pallas_fwd, _ctc_fb_pallas_bwd)
 
 
 def checked_ctc_loss(

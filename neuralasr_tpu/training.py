@@ -237,7 +237,9 @@ class Trainer:
         logits, out_lens = self.model.apply(
             {"params": params}, feats, feat_lens, train=True, rngs=rngs
         )
-        per = ctc_loss(logits, labels, out_lens, label_lens)
+        per = ctc_loss(
+            logits, labels, out_lens, label_lens, impl=self.cfg.ctc_impl
+        )
         # Infeasible rows (out_len < label_len after subsampling) and
         # tail-padding duplicates carry zero weight.
         feasible = (out_lens >= label_lens).astype(jnp.float32)
