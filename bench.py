@@ -115,10 +115,11 @@ def main() -> None:
                    help="CTC recursions: XLA scan or single Pallas kernels "
                         "(ops/pallas_ctc.py)")
     p.add_argument("--beam-width", type=int, default=16)
-    p.add_argument("--beam-merge", default="sort",
-                   choices=["sort", "allpairs"],
-                   help="duplicate-prefix merge: sorted hash search "
-                        "(W V logW) vs all-pairs match tensor (W^2 V)")
+    p.add_argument("--beam-merge", default="allpairs",
+                   choices=["allpairs", "sort"],
+                   help="duplicate-prefix merge: all-pairs match tensor "
+                        "(vector-shaped; 12-13x faster on TPU at W=16..64) "
+                        "vs sorted hash search")
     p.add_argument("--breakdown", action="store_true", default=True,
                    help="per-stage roofline breakdown (default on)")
     p.add_argument("--no-breakdown", dest="breakdown", action="store_false")

