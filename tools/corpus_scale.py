@@ -127,29 +127,38 @@ def main() -> None:
         trainer = Trainer(cfg)
         trainer.corpus = packed
         trainer.loader = loader
-        t0 = time.time()
-        audio_s, steps = 0.0, 0
-        t_warm = None
-        prefetch = DevicePrefetcher(loader.epoch(0), trainer.put_batch)
+        # Pre-warm ONE step per distinct bucket first: every bucket shape
+        # is its own XLA program, and axon REMOTE compiles bypass the
+        # persistent cache — without this the timed window absorbs
+        # minutes of compiles and reads as a ~100x slowdown (round-3
+        # first run measured 94 audio-s/s that way).
+        seen = set()
+        for batch in loader.epoch(0):
+            if batch.bucket in seen:
+                continue
+            seen.add(batch.bucket)
+            trainer.train_batch_device(
+                batch.bucket, trainer.put_batch(batch)
+            )
+        jax.block_until_ready(trainer.state["params"])
+        t_warm, audio_s, steps = time.time(), 0.0, 0
+        prefetch = DevicePrefetcher(loader.epoch(1), trainer.put_batch)
         try:
             for batch, dev_args in prefetch:
                 trainer.train_batch_device(batch.bucket, dev_args)
                 steps += 1
-                if steps == 10:  # past the compile wall: restart the clock
-                    jax.block_until_ready(trainer.state["params"])
-                    t_warm, audio_s = time.time(), 0.0
-                elif steps > 10:
-                    audio_s += trainer.batch_audio_s(batch)
-                if steps >= args.train_steps + 10:
+                audio_s += trainer.batch_audio_s(batch)
+                if steps >= args.train_steps:
                     break
         finally:
             prefetch.close()
         jax.block_until_ready(trainer.state["params"])
-        out["train_steps"] = steps - 10
+        out["train_steps"] = steps
         out["train_wall_audio_s_per_s"] = round(
             audio_s / max(time.time() - t_warm, 1e-9), 1
         )
         out["rss_after_train_gb"] = round(rss_gb(), 2)
+        out.update({f"train_{k}": v for k, v in rss_split_gb().items()})
 
     print(json.dumps(out))
 
