@@ -98,6 +98,23 @@ def main():
     bench_once("r3b_ckpt_collapse", fe + ["--ckpt", "runs/conformer_r2",
                                           "--no-breakdown"])
 
+    # Ladder remainder: the first campaign aborted at conv's tripped stress
+    # gate (the old ladder runner re-raised instead of recording), so
+    # fusion/conformer evals and the shift sweep never ran; conv's gated
+    # stress eval JSON was also lost.  run_ladder now records failures and
+    # finishes everything.
+    try:
+        from tools import run_ladder
+
+        gate_failures = run_ladder.ladder(
+            ["conv", "fusion", "conformer"], sweep=True
+        )
+        if gate_failures:
+            print(json.dumps({"gate_failures": gate_failures}), flush=True)
+    except Exception:
+        print("[campaign2] ladder stage FAILED:\n"
+              + traceback.format_exc()[-800:], flush=True)
+
     # Compile-prewarmed 100k-corpus train-step measurement.
     try:
         from tools import corpus_scale

@@ -44,35 +44,45 @@ SWEEP_SHIFTS = [0, 25, 50, 75]
 SWEEP_CONFIGS = ("conv", "fusion", "conformer")
 
 
-def run(mod, argv, out_json=None):
+def run(mod, argv, out_json=None, failures=None):
+    """failures: list to RECORD a non-zero exit into (gate trips) instead of
+    aborting — the ladder finishes every config and fails at the END, so
+    one tripped gate cannot skip the remaining configs' evals (which is
+    exactly what round 3's first campaign run did when the conv gate
+    fired)."""
     print(f"== running: {' '.join(argv)}", flush=True)
     old = sys.argv
     sys.argv = argv
     try:
-        if out_json:
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                try:
-                    mod.main()
-                except SystemExit as e:
-                    if e.code:
-                        raise
-            text = buf.getvalue()
+        text = None
+        try:
+            if out_json:
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    try:
+                        mod.main()
+                    finally:
+                        text = buf.getvalue()
+            else:
+                mod.main()
+        except SystemExit as e:
+            if e.code:
+                if failures is None:
+                    raise
+                failures.append(" ".join(argv))
+                print(f"== GATE/EXIT FAILURE (recorded): {' '.join(argv)}",
+                      flush=True)
+        if out_json and text is not None:
             with open(out_json, "w") as fh:
                 fh.write(text)
             if text.strip():
                 print(text.strip().splitlines()[-1], flush=True)
-        else:
-            try:
-                mod.main()
-            except SystemExit as e:
-                if e.code:
-                    raise
     finally:
         sys.argv = old
 
 
 def ladder(configs, sweep=False):
+    failures: list[str] = []
     for cfg in configs:
         # Checkpoints live in the round-2 workdirs; --resume retrains
         # nothing once the preset's epochs are consumed.
@@ -84,17 +94,22 @@ def ladder(configs, sweep=False):
         protocol, gate = GATES.get(cfg, (None, None))
         std_gate = ["--gate", str(gate)] if protocol == "standard" else []
         stress_gate = ["--gate", str(gate)] if protocol == "stress" else []
-        run(eval_cli, ev + std_gate, f"runs/{cfg}_r3.eval.json")
+        run(eval_cli, ev + std_gate, f"runs/{cfg}_r3.eval.json",
+            failures=failures)
         run(eval_cli, ev + STRESS + stress_gate,
-            f"runs/{cfg}_r3.eval_stress.json")
+            f"runs/{cfg}_r3.eval_stress.json", failures=failures)
         if cfg == "fusion":  # isolate the shallow-fusion gain
             run(eval_cli, ev + ["--lm-weight", "0"],
-                f"runs/{cfg}_r3.eval_nolm.json")
+                f"runs/{cfg}_r3.eval_nolm.json", failures=failures)
             run(eval_cli, ev + STRESS + ["--lm-weight", "0"],
-                f"runs/{cfg}_r3.eval_stress_nolm.json")
+                f"runs/{cfg}_r3.eval_stress_nolm.json", failures=failures)
     if sweep:
         shift_sweep([c for c in configs if c in SWEEP_CONFIGS])
-    print("LADDER-DONE", flush=True)
+    if failures:
+        print("LADDER-FAILED gates:\n  " + "\n  ".join(failures), flush=True)
+    else:
+        print("LADDER-DONE", flush=True)
+    return failures
 
 
 def shift_sweep(configs):
@@ -109,7 +124,7 @@ def shift_sweep(configs):
                 ["evaluate.py", "--config", cfg, "--workdir",
                  f"runs/{cfg}_r2", "--max-utts", "128",
                  "--eval-noise", "1.0", "--eval-shift", str(shift)],
-                f"runs/_sweep_tmp.json",
+                "runs/_sweep_tmp.json",
             )
             with open("runs/_sweep_tmp.json") as fh, open(out, "a") as o:
                 o.write(fh.read())
@@ -118,5 +133,6 @@ def shift_sweep(configs):
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    ladder(args or ["base", "conv", "fusion", "conformer"],
-           sweep="--sweep" in sys.argv)
+    failed = ladder(args or ["base", "conv", "fusion", "conformer"],
+                    sweep="--sweep" in sys.argv)
+    sys.exit(1 if failed else 0)
