@@ -220,7 +220,12 @@ def fused_frontend_framed(
         ),
         grid=(B, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # waveform rows stay in HBM
+            # MUST be HBM, not ANY: the array fits in VMEM, and if the
+            # compiler places it there the per-program overlapping row
+            # slice becomes a tiled-memref slice at a non-tile-aligned
+            # dynamic sublane offset, which Mosaic rejects.  From HBM the
+            # same slice is a plain DMA (byte-addressed, any offset).
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (wdft.shape[0], wdft.shape[1]),
                 lambda b, j: (0, 0),
