@@ -3,10 +3,11 @@
 The XLA-scan CTC in ctc/loss.py is numerically final but latency-bound on
 TPU: ~240 sequential scan iterations of tiny [B, S] VPU work cost ~2.6 ms
 per step at batch 64 while moving only ~15 GB/s.  These kernels run the
-SAME recursions as single `pallas_call`s — grid over time, the [B, S]
+SAME recursions as single `pallas_call`s — grid over time BLOCKS of
+`steps_per_block` frames (the first single-step version still paid ~11 us
+of grid/DMA overhead per frame; blocking amortizes it), with the [B, S]
 lattice state living in a VMEM scratch that persists across sequential
-grid steps — so the per-iteration cost is a handful of VPU ops instead of
-an XLA loop iteration.
+grid steps.
 
 Design notes (all 2-D vectors; Mosaic-safe):
   - Emissions em_t[b,s] = lp_t[b, ext[b,s]] are rebuilt per step as V
@@ -14,9 +15,14 @@ Design notes (all 2-D vectors; Mosaic-safe):
     gather, no [T, B, S] or [B, S, V] tensor anywhere.
   - The s-1 / s-2 shifts of the alpha/beta recursions are lane rolls with
     edge masks.
-  - The backward kernel walks the grid REVERSED (index maps t = T-1-i),
-    carries beta in scratch, and emits the per-class occupancy [B, V]
-    directly (again V select-reductions), so betas never leave VMEM.
+  - The alpha recursion is UNIFORM across t (t=0 included) by seeding the
+    carry with log(1) at the virtual pre-start state s=0: one step of the
+    recurrence then reproduces the textbook alpha_0 exactly.
+  - The backward kernel walks the grid REVERSED, carries beta in scratch
+    (no seed needed: every row's t >= len-1 step clamps to the final
+    condition, and the first processed block satisfies it for all rows),
+    and emits the per-class occupancy [B, V] directly, so betas never
+    leave VMEM.
 
 Masks arrive as f32 (0/1) tensors; lengths as [B, 1] int32 in VMEM.
 Everything is f32 internally (log-space).  Off-TPU the kernels run in
@@ -34,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+STEPS_PER_BLOCK = 8
 
 
 def _lse3(a, b, c):
@@ -66,40 +73,42 @@ def _shift_left(x, n, fill):
 
 def _alpha_kernel(
     lp_ref, ext_ref, skip_ref, valid_ref, lens_ref, llen_ref,
-    ll_ref, alphas_ref, alpha_scr, *, V,
+    ll_ref, alphas_ref, alpha_scr, *, V, K, T,
 ):
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+    j = pl.program_id(0)
+    nb = pl.num_programs(0)
     ext = ext_ref[:]
-    em = _emission(lp_ref[0], ext, V)
+    skip = skip_ref[:] > 0.5
     valid = valid_ref[:] > 0.5
     s_idx = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 1)
-    has_label = llen_ref[:] > 0  # [B, 1]
 
-    @pl.when(t == 0)
+    @pl.when(j == 0)
     def _():
-        alpha = jnp.where(s_idx == 0, em, NEG_INF)
-        alpha = jnp.where((s_idx == 1) & has_label, em, alpha)
-        alpha_scr[:] = jnp.where(valid, alpha, NEG_INF)
+        # Virtual pre-start carry: log(1) at s=0.  One uniform recurrence
+        # step turns this into the textbook alpha_0 (s=0 -> em[0],
+        # s=1 -> em[1] via the s-1 transition, rest dead).
+        alpha_scr[:] = jnp.where(s_idx == 0, 0.0, NEG_INF)
 
-    @pl.when(t > 0)
-    def _():
+    for i in range(K):
+        t = j * K + i
         alpha = alpha_scr[:]
+        em = _emission(lp_ref[i], ext, V)
         a1 = _shift_right(alpha, 1, NEG_INF)
-        a2 = jnp.where(
-            skip_ref[:] > 0.5, _shift_right(alpha, 2, NEG_INF), NEG_INF
-        )
+        a2 = jnp.where(skip, _shift_right(alpha, 2, NEG_INF), NEG_INF)
         new = _lse3(alpha, a1, a2) + em
         new = jnp.where(valid, new, NEG_INF)
-        active = t < lens_ref[:]  # [B, 1]
+        # t=0 always applies (matches ctc/loss.py); padded tail frames
+        # (t >= T) and frames past each row's length carry through.
+        active = jnp.logical_and(t < lens_ref[:], t < T)
+        active = jnp.logical_or(active, t == 0)
         alpha_scr[:] = jnp.where(active, new, alpha)
+        alphas_ref[i] = alpha_scr[:]
 
-    alphas_ref[0] = alpha_scr[:]
-
-    @pl.when(t == T - 1)
+    @pl.when(j == nb - 1)
     def _():
         alpha = alpha_scr[:]
         last = 2 * llen_ref[:]  # [B, 1]
+        has_label = llen_ref[:] > 0
         a_last = jnp.max(
             jnp.where(s_idx == last, alpha, NEG_INF), axis=1, keepdims=True
         )
@@ -111,19 +120,31 @@ def _alpha_kernel(
         ll_ref[:] = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
 
 
-def ctc_alpha_forward(lp, ext, allow_skip, state_valid, input_lens, label_lens):
+def _pad_time(x, K):
+    T = x.shape[0]
+    pad = (-T) % K
+    return (jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)), T + pad)
+
+
+def ctc_alpha_forward(
+    lp, ext, allow_skip, state_valid, input_lens, label_lens,
+    steps_per_block: int = STEPS_PER_BLOCK,
+):
     """lp [T,B,V] f32 time-major log-probs -> (ll [B], alphas [T,B,S])."""
     T, B, V = lp.shape
     S = ext.shape[1]
+    K = min(steps_per_block, T)
+    lp_p, T_pad = _pad_time(lp, K)
+    nb = T_pad // K
     interpret = jax.default_backend() != "tpu"
     full = lambda shape: pl.BlockSpec(
-        shape, lambda t: (0,) * len(shape), memory_space=pltpu.VMEM
+        shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     ll, alphas = pl.pallas_call(
-        functools.partial(_alpha_kernel, V=V),
-        grid=(T,),
+        functools.partial(_alpha_kernel, V=V, K=K, T=T),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, B, V), lambda t: (t, 0, 0),
+            pl.BlockSpec((K, B, V), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             full((B, S)),  # ext
             full((B, S)),  # allow_skip (f32)
@@ -132,106 +153,123 @@ def ctc_alpha_forward(lp, ext, allow_skip, state_valid, input_lens, label_lens):
             full((B, 1)),  # label_lens
         ],
         out_specs=(
-            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), lambda t: (t, 0, 0),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, S), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, B, S), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=T * B * S * (V + 12),
-            bytes_accessed=4 * (T * B * V + 2 * T * B * S),
-            transcendentals=4 * T * B * S,
+            flops=T_pad * B * S * (V + 12),
+            bytes_accessed=4 * (T_pad * B * V + 2 * T_pad * B * S),
+            transcendentals=4 * T_pad * B * S,
         ),
     )(
-        lp,
+        lp_p,
         ext.astype(jnp.int32),
         allow_skip.astype(jnp.float32),
         state_valid.astype(jnp.float32),
         input_lens.astype(jnp.int32)[:, None],
         label_lens.astype(jnp.int32)[:, None],
     )
-    return ll[:, 0], alphas
+    return ll[:, 0], alphas[:T]
 
 
 def _beta_occ_kernel(
-    lp_next_ref, alphas_ref, ext_ref, skipout_ref, valid_ref, lens_ref,
-    llen_ref, ll_ref, occ_ref, beta_scr, *, V, T,
+    lp_ref, lp_top_ref, alphas_ref, ext_ref, skipout_ref, valid_ref,
+    lens_ref, llen_ref, ll_ref, occ_ref, beta_scr, *, V, K, T,
 ):
-    i = pl.program_id(0)
-    t = T - 1 - i
+    j = pl.program_id(0)
+    nb = pl.num_programs(0)
+    base = (nb - 1 - j) * K  # this block covers t in [base, base+K)
     ext = ext_ref[:]
+    skip_out = skipout_ref[:] > 0.5
     valid = valid_ref[:] > 0.5
     s_idx = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 1)
-    last = 2 * llen_ref[:]  # [B, 1]
+    last = 2 * llen_ref[:]
     fin = jnp.where(
         (s_idx == last) | ((s_idx == last - 1) & (llen_ref[:] > 0)),
         0.0,
         NEG_INF,
     )
+    feasible = ll_ref[:] > NEG_INF / 2
+    v_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (ext.shape[0], occ_ref.shape[2]), 1
+    )
 
-    @pl.when(i == 0)
-    def _():
-        beta_scr[:] = fin
-
-    @pl.when(i > 0)
-    def _():
-        em_next = _emission(lp_next_ref[0], ext, V)
+    for i in range(K - 1, -1, -1):
+        t = base + i
+        # beta_t from beta_{t+1}: lp[t+1] lives in this block for i < K-1,
+        # else in the one-frame lookahead ref (unused garbage at the very
+        # top block, where every row clamps to fin anyway).
+        lp_next = lp_top_ref[0] if i == K - 1 else lp_ref[i + 1]
+        em_next = _emission(lp_next, ext, V)
         x0 = beta_scr[:] + em_next
         x1 = _shift_left(x0, 1, NEG_INF)
-        x2 = jnp.where(
-            skipout_ref[:] > 0.5, _shift_left(x0, 2, NEG_INF), NEG_INF
-        )
+        x2 = jnp.where(skip_out, _shift_left(x0, 2, NEG_INF), NEG_INF)
         new = _lse3(x0, x1, x2)
         new = jnp.where(valid, new, NEG_INF)
-        at_or_past_end = t >= lens_ref[:] - 1  # [B, 1]
-        beta_scr[:] = jnp.where(at_or_past_end, fin, new)
+        # Rows at/past their end clamp to the final condition — this also
+        # initializes the recursion: at the first processed step
+        # (t = T_pad-1 >= len-1 for every row) the carry is irrelevant.
+        at_or_past_end = t >= lens_ref[:] - 1
+        beta = jnp.where(at_or_past_end, fin, new)
+        beta_scr[:] = beta
 
-    # Occupancy for this t: w = exp(alpha + beta - ll), per-class sums.
-    gamma = alphas_ref[0] + beta_scr[:]
-    feasible = ll_ref[:] > NEG_INF / 2  # [B, 1]
-    w = jnp.where(feasible, jnp.exp(gamma - ll_ref[:]), 0.0)
-    w = jnp.where(t < lens_ref[:], w, 0.0)
-    occ = jnp.zeros((ext.shape[0], occ_ref.shape[2]), jnp.float32)
-    v_idx = jax.lax.broadcasted_iota(jnp.int32, occ.shape, 1)
-    for v in range(V):
-        contrib = jnp.sum(jnp.where(ext == v, w, 0.0), axis=1, keepdims=True)
-        occ = occ + jnp.where(v_idx == v, contrib, 0.0)
-    occ_ref[0] = occ
+        gamma = alphas_ref[i] + beta
+        w = jnp.where(feasible, jnp.exp(gamma - ll_ref[:]), 0.0)
+        w = jnp.where(t < lens_ref[:], w, 0.0)
+        occ = jnp.zeros(v_idx.shape, jnp.float32)
+        for v in range(V):
+            contrib = jnp.sum(
+                jnp.where(ext == v, w, 0.0), axis=1, keepdims=True
+            )
+            occ = occ + jnp.where(v_idx == v, contrib, 0.0)
+        occ_ref[i] = occ
 
 
 def ctc_beta_occupancy(
-    lp, alphas, ext, allow_skip, state_valid, input_lens, label_lens, ll
+    lp, alphas, ext, allow_skip, state_valid, input_lens, label_lens, ll,
+    steps_per_block: int = STEPS_PER_BLOCK,
 ):
     """Reverse recursion with fused occupancy.  Returns occ [T,B,V]."""
     T, B, V = lp.shape
     S = ext.shape[1]
+    K = min(steps_per_block, T)
+    lp_p, T_pad = _pad_time(lp, K)
+    alphas_p, _ = _pad_time(alphas, K)
+    nb = T_pad // K
     # Skip OUT of s into s+2 is allowed iff skip INTO s+2 is (shift left).
     skip_out = jnp.concatenate(
         [allow_skip[:, 2:], jnp.zeros((B, 2), allow_skip.dtype)], axis=1
     )
     interpret = jax.default_backend() != "tpu"
     full = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    # Program i handles t = T-1-i and needs lp[t+1] (clamped at i=0, where
-    # the block is loaded but unused) and alphas[t].
     occ = pl.pallas_call(
-        functools.partial(_beta_occ_kernel, V=V, T=T),
-        grid=(T,),
+        functools.partial(_beta_occ_kernel, V=V, K=K, T=T),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec(
+            pl.BlockSpec(  # lp block for t in [base, base+K)
+                (K, B, V),
+                lambda j, nb=nb: (nb - 1 - j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # one-frame lookahead: lp[base+K] (clamped)
                 (1, B, V),
-                lambda i, T=T: (jnp.minimum(T - i, T - 1), 0, 0),
+                lambda j, nb=nb, K=K, T_pad=T_pad: (
+                    jnp.minimum((nb - j) * K, T_pad - 1), 0, 0,
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, B, S),
-                lambda i, T=T: (T - 1 - i, 0, 0),
+                (K, B, S),
+                lambda j, nb=nb: (nb - 1 - j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             full((B, S)),  # ext
@@ -242,20 +280,21 @@ def ctc_beta_occupancy(
             full((B, 1)),  # ll
         ],
         out_specs=pl.BlockSpec(
-            (1, B, V), lambda i, T=T: (T - 1 - i, 0, 0),
+            (K, B, V), lambda j, nb=nb: (nb - 1 - j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((T, B, V), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, B, V), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * S * (V + 12),
-            bytes_accessed=4 * (2 * T * B * V + 2 * T * B * S),
-            transcendentals=5 * T * B * S,
+            flops=2 * T_pad * B * S * (V + 12),
+            bytes_accessed=4 * (2 * T_pad * B * V + 2 * T_pad * B * S),
+            transcendentals=5 * T_pad * B * S,
         ),
     )(
-        lp,
-        alphas,
+        lp_p,
+        lp_p,
+        alphas_p,
         ext.astype(jnp.int32),
         skip_out.astype(jnp.float32),
         state_valid.astype(jnp.float32),
@@ -263,4 +302,4 @@ def ctc_beta_occupancy(
         label_lens.astype(jnp.int32)[:, None],
         ll.astype(jnp.float32)[:, None],
     )
-    return occ
+    return occ[:T]
