@@ -39,6 +39,10 @@ def main():
         rows["both"] = bench_once(
             "r3c_framed_ctc", ["--ctc-impl", "pallas"]
         )
+        rows["both_b128"] = bench_once(
+            "r3c_framed_ctc_b128",
+            ["--ctc-impl", "pallas", "--batch", "128", "--no-breakdown"],
+        )
 
     def val(r):
         return r.get("value") or 0 if r and not r.get("error") else 0
