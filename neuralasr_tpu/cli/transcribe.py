@@ -4,8 +4,9 @@ usage surface, SURVEY.md §2 L6: decode-one-utterance workflow).
     python transcribe.py --config tiny --workdir runs/tiny audio.wav [more.wav]
     python transcribe.py --config base --workdir runs/base --beam 16 *.wav
 
-Reads 16-bit PCM WAV via the native C++ decoder (host I/O, SURVEY.md §3
-"audio codec decode stays host-side"), runs the on-device frontend + encoder
+Reads 16-bit PCM WAV or FLAC via the native C++ decoders (host I/O,
+SURVEY.md §3 "audio codec decode stays host-side"; pure-Python FLAC
+fallback in data/flac.py), runs the on-device frontend + encoder
 + CTC decode (greedy, or beam search when --beam > 1), and prints one JSON
 line per file: {"file": ..., "text": ..., "audio_s": ...}.
 """
@@ -83,7 +84,15 @@ def main() -> None:
 
     def transcribe_one(path: str) -> dict:
         with open(path, "rb") as f:
-            samples, rate = wav_decode(f.read())
+            raw = f.read()
+        if path.lower().endswith(".flac") or raw[:4] == b"fLaC":
+            try:  # native C++ FLAC decoder; pure-Python fallback
+                from neuralasr_tpu.native import flac_decode
+            except ImportError:
+                from neuralasr_tpu.data.flac import flac_decode
+            samples, rate = flac_decode(raw)
+        else:
+            samples, rate = wav_decode(raw)
         if rate != sr:
             print(
                 f"[transcribe] {path}: sample rate {rate} != model rate {sr} "

@@ -185,6 +185,39 @@ def test_train_and_eval_through_layout(corpus_root):
     assert 0.0 <= w <= 1.5  # untrained-ish model: any valid WER
 
 
+def test_transcribe_cli_reads_flac(flac_corpus_root, tmp_path, capsys):
+    from neuralasr_tpu.cli import transcribe as transcribe_cli
+    from neuralasr_tpu.utils.checkpoint import Checkpointer
+
+    cfg = dataclasses.replace(_tiny_cfg(flac_corpus_root), name="_lsflac")
+    PRESETS["_lsflac"] = cfg
+    try:
+        trainer = Trainer(cfg)
+        workdir = str(tmp_path / "wd")
+        ck = Checkpointer(os.path.join(workdir, "ckpt"))
+        ck.save(1, trainer.state, {"step": 1, "config": cfg.to_json()},
+                blocking=True)
+        ck.close()
+        flac = next(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(flac_corpus_root)
+            for f in sorted(fs)
+            if f.endswith(".flac")
+        )
+        old_argv = sys.argv
+        sys.argv = ["transcribe", "--config", "_lsflac", "--workdir",
+                    workdir, "--cpu", flac]
+        try:
+            transcribe_cli.main()
+        finally:
+            sys.argv = old_argv
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["file"] == flac and rec["audio_s"] > 0
+        assert isinstance(rec["text"], str)
+    finally:
+        PRESETS.pop("_lsflac", None)
+
+
 def test_transcribe_cli_through_layout(corpus_root, tmp_path, capsys):
     from neuralasr_tpu.cli import transcribe as transcribe_cli
     from neuralasr_tpu.utils.checkpoint import Checkpointer
