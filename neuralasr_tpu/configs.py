@@ -123,6 +123,18 @@ CONFIG2 = _register(
     )
 )
 
+# Config 2 fast variant — frame stacking k=3 (Sak et al. 2015): 3x fewer
+# recurrence steps, measured 3.2x train throughput (BASELINE.md round 3);
+# a SEPARATE preset (not a flip of `base`) so the recorded `base` ladder
+# checkpoints/gates stay valid — the stacked input changes param shapes.
+CONFIG2_FS3 = _register(
+    dataclasses.replace(
+        CONFIG2,
+        name="base_fs3",
+        model=dataclasses.replace(CONFIG2.model, frame_stack=3),
+    )
+)
+
 # Config 3 — Conv2d subsample + 5-layer BiLSTM, SpecAugment, bucketing.
 CONFIG3 = _register(
     TrainConfig(

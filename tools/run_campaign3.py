@@ -44,6 +44,28 @@ def main():
             ["--ctc-impl", "pallas", "--batch", "128", "--no-breakdown"],
         )
 
+    # base_fs3: train + eval the frame-stacked config-2 preset to prove the
+    # 3.2x-throughput variant WER-neutral at the full ladder protocol
+    # (VERDICT r2 item 3's "flip if WER-neutral", done as a new preset so
+    # the recorded `base` checkpoints/gates stay valid).
+    try:
+        from tools.run_ladder import STRESS, run
+        from neuralasr_tpu.cli import evaluate as eval_cli
+        from neuralasr_tpu.cli import train as train_cli
+
+        wd = "runs/base_fs3_r3"
+        run(train_cli, ["train.py", "--config", "base_fs3", "--workdir", wd,
+                        "--resume"])
+        ev = ["evaluate.py", "--config", "base_fs3", "--workdir", wd,
+              "--max-utts", "512"]
+        run(eval_cli, ev, f"{wd}.eval.json")
+        run(eval_cli, ev + STRESS, f"{wd}.eval_stress.json")
+    except Exception:
+        import traceback as tb
+
+        print("[campaign3] base_fs3 stage FAILED:\n" + tb.format_exc()[-600:],
+              flush=True)
+
     def val(r):
         return r.get("value") or 0 if r and not r.get("error") else 0
 
