@@ -130,12 +130,12 @@ def fused_frontend(
 
 
 def _framed_kernel(
-    y_ref,  # [B*(Tpad+k-1), hop] in HBM (ANY): hop-sized waveform rows
+    y_ref,  # [B*(Tpad+look), hop] in HBM: hop-sized waveform rows
     wdft_ref,
     mel_ref,
     post_ref,
     out_ref,
-    scratch,  # VMEM [bf+k-1, hop]
+    scratch,  # VMEM [bf+look, hop]
     sem,
     *,
     n_fft,
@@ -144,14 +144,18 @@ def _framed_kernel(
     hop,
     frame_len,
     k,
+    look,  # k-1 rows of frame lookahead, rounded up to the sublane tile
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(1)
-    rows_per_utt = nb * bf + (k - 1)
-    start = b * rows_per_utt + j * bf
+    rows_per_utt = nb * bf + look
+    # Mosaic requires dynamic memref slices at sublane-tile-aligned offsets
+    # and lengths: bf, look, and rows_per_utt are all tile multiples, so
+    # `start` provably is too (hinted via multiple_of).
+    start = pl.multiple_of(b * rows_per_utt + j * bf, look)
     dma = pltpu.make_async_copy(
-        y_ref.at[pl.ds(start, bf + k - 1)], scratch, sem
+        y_ref.at[pl.ds(start, bf + look)], scratch, sem
     )
     dma.start()
     dma.wait()
@@ -199,14 +203,19 @@ def fused_frontend_framed(
     B, N = y.shape
     F_out = post.shape[1]
     k = -(-frame_len // hop)  # rows of the hop grid a frame spans
+    # Sublane-tile alignment for the dynamic HBM row slices: 8 rows for
+    # 4-byte dtypes, 16 for bf16 (Mosaic tiled-memref constraint).
+    align = 16 if y.dtype.itemsize == 2 else 8
+    look = max(-(-(k - 1) // align) * align, align)  # lookahead, tile-rounded
     bf = min(block_frames, max_frames)
+    bf = max(-(-bf // align) * align, align)
     nb = -(-max_frames // bf)
     t_pad = nb * bf
-    # Per-utterance row budget: t_pad frames + (k-1) rows of lookahead.
-    n_need = (t_pad + k - 1) * hop
+    # Per-utterance row budget: t_pad frames + `look` rows of lookahead.
+    n_need = (t_pad + look) * hop
     if N < n_need:
         y = jnp.pad(y, ((0, 0), (0, n_need - N)))
-    rows = y[:, :n_need].reshape(B * (t_pad + k - 1), hop)
+    rows = y[:, :n_need].reshape(B * (t_pad + look), hop)
 
     out = pl.pallas_call(
         functools.partial(
@@ -217,14 +226,15 @@ def fused_frontend_framed(
             hop=hop,
             frame_len=frame_len,
             k=k,
+            look=look,
         ),
         grid=(B, nb),
         in_specs=[
-            # MUST be HBM, not ANY: the array fits in VMEM, and if the
-            # compiler places it there the per-program overlapping row
-            # slice becomes a tiled-memref slice at a non-tile-aligned
-            # dynamic sublane offset, which Mosaic rejects.  From HBM the
-            # same slice is a plain DMA (byte-addressed, any offset).
+            # HBM + tile-aligned windows: Mosaic accepts dynamic memref
+            # slices only at sublane-tile-aligned offsets/lengths (8 rows
+            # f32 / 16 rows bf16), hence the `look` rounding above; pl.ANY
+            # may also place the array in VMEM where the constraint is the
+            # same but the DMA becomes a VMEM-to-VMEM copy.
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (wdft.shape[0], wdft.shape[1]),
@@ -249,7 +259,7 @@ def fused_frontend_framed(
         ),
         out_shape=jax.ShapeDtypeStruct((B * t_pad, F_out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bf + k - 1, hop), y.dtype),
+            pltpu.VMEM((bf + look, hop), y.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
