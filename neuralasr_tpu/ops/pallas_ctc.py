@@ -40,7 +40,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-STEPS_PER_BLOCK = 8
+# Frames per grid program.  Measured on v5e (runs/bench_suite.jsonl
+# r3b_ctc_pallas vs r3c_ctc_blocked): K=1 is FASTER than K=8 — the
+# recursion's serial carry already prevents pipelining across sub-steps,
+# so blocking only delays the output DMAs; per-step cost is bound by the
+# lane rolls + transcendentals of the recurrence itself, not grid
+# dispatch.  All CTC impls land within ~2% of the XLA scan at train-step
+# level; `scan` stays the default (ctc/loss.py), these kernels the
+# documented alternative.
+STEPS_PER_BLOCK = 1
 
 
 def _lse3(a, b, c):
