@@ -12,13 +12,15 @@ Two kernels:
 - `fused_frontend` takes pre-gathered [NF, frame_len] frames and keeps the
   spectrum/power/mel intermediates in VMEM (HBM traffic = frames in +
   features out).
-- `fused_frontend_framed` goes further and folds the FRAMING in: it reads
-  the raw pre-emphasized waveform (reshaped to hop-sized rows) from HBM by
-  manual DMA of overlapping row windows and assembles each frame from
-  static row slices inside VMEM, so the [B, T, frame_len] frames tensor —
-  ~2.5x the wav bytes, by far the largest array the round-2 frontend
-  touched (VERDICT r2 item 2a) — never exists anywhere.  HBM traffic drops
-  to wav-in + features-out, the true speed-of-light for the op.
+- `fused_frontend_framed` goes further and folds the FRAMING in: the raw
+  pre-emphasized waveform (reshaped to hop-sized rows) streams in as two
+  grid-blocked views offset by one block (overlap via the grid — Mosaic
+  rejects dynamic-offset slices of tiled memrefs, so no manual DMA), and
+  each frame's DFT is computed as k sublane-shifted partial matmuls, so
+  the [B, T, frame_len] frames tensor — ~2.5x the wav bytes, by far the
+  largest array the round-2 frontend touched (VERDICT r2 item 2a) — never
+  exists anywhere.  HBM traffic drops to ~2x wav-in + features-out, the
+  bandwidth speed-of-light for the op.
 
 Off-TPU the kernels run in interpret mode.
 """
@@ -130,13 +132,12 @@ def fused_frontend(
 
 
 def _framed_kernel(
-    y_ref,  # [B*(Tpad+look), hop] in HBM: hop-sized waveform rows
+    rows_ref,  # [bf, hop] VMEM: this block's hop-rows
+    next_ref,  # [bf, hop] VMEM: the NEXT block's hop-rows (frame lookahead)
     wdft_ref,
     mel_ref,
     post_ref,
     out_ref,
-    scratch,  # VMEM [bf+look, hop]
-    sem,
     *,
     n_fft,
     floor,
@@ -144,29 +145,20 @@ def _framed_kernel(
     hop,
     frame_len,
     k,
-    look,  # k-1 rows of frame lookahead, rounded up to the sublane tile
 ):
-    b = pl.program_id(0)
-    j = pl.program_id(1)
-    nb = pl.num_programs(1)
-    rows_per_utt = nb * bf + look
-    # Mosaic requires dynamic memref slices at sublane-tile-aligned offsets
-    # and lengths: bf, look, and rows_per_utt are all tile multiples, so
-    # `start` provably is too (hinted via multiple_of).
-    start = pl.multiple_of(b * rows_per_utt + j * bf, look)
-    dma = pltpu.make_async_copy(
-        y_ref.at[pl.ds(start, bf + look)], scratch, sem
-    )
-    dma.start()
-    dma.wait()
-    rows = scratch[:]
+    # Overlapping frames without dynamic slicing: Mosaic rejects
+    # dynamic-offset slices of tiled memrefs outright (round-3 campaign
+    # logs, HBM or VMEM, aligned or not), so the overlap comes from the
+    # GRID instead — two blocked views of the same rows array, offset by
+    # one block, concatenated on the (tile-aligned) sublane dim.
+    rows = jnp.concatenate([rows_ref[:], next_ref[:]], axis=0)  # [2bf, hop]
     # Frame i spans rows i..i+k-1 of the hop grid.  Rather than
-    # CONCATENATING the k shifted row-slices into a [bf, frame_len] frames
-    # matrix (Mosaic cannot lower a lane-dimension concatenate of
-    # non-128-aligned pieces — hop=160), split the DFT contraction itself:
+    # CONCATENATING k shifted row-slices into a [bf, frame_len] frames
+    # matrix (a lane-dim concatenate of non-128-aligned pieces — also
+    # rejected), split the DFT contraction itself:
     #   frames @ wdft == sum_i rows[i:bf+i, :w_i] @ wdft[i*hop : i*hop+w_i]
-    # k sublane-shifted matmuls accumulated in f32 on the MXU; the frames
-    # matrix never exists even in VMEM.
+    # k STATIC sublane-shifted slices feeding matmuls accumulated in f32
+    # on the MXU; the frames matrix never exists anywhere.
     m = None
     for i in range(k):
         lo = i * hop
@@ -203,19 +195,17 @@ def fused_frontend_framed(
     B, N = y.shape
     F_out = post.shape[1]
     k = -(-frame_len // hop)  # rows of the hop grid a frame spans
-    # Sublane-tile alignment for the dynamic HBM row slices: 8 rows for
-    # 4-byte dtypes, 16 for bf16 (Mosaic tiled-memref constraint).
     align = 16 if y.dtype.itemsize == 2 else 8
-    look = max(-(-(k - 1) // align) * align, align)  # lookahead, tile-rounded
     bf = min(block_frames, max_frames)
     bf = max(-(-bf // align) * align, align)
     nb = -(-max_frames // bf)
     t_pad = nb * bf
-    # Per-utterance row budget: t_pad frames + `look` rows of lookahead.
-    n_need = (t_pad + look) * hop
+    # Per-utterance row budget: nb+1 FULL blocks, so the kernel's
+    # next-block view stays in bounds at the last block.
+    n_need = (nb + 1) * bf * hop
     if N < n_need:
         y = jnp.pad(y, ((0, 0), (0, n_need - N)))
-    rows = y[:, :n_need].reshape(B * (t_pad + look), hop)
+    rows = y[:, :n_need].reshape(B * (nb + 1) * bf, hop)
 
     out = pl.pallas_call(
         functools.partial(
@@ -226,16 +216,19 @@ def fused_frontend_framed(
             hop=hop,
             frame_len=frame_len,
             k=k,
-            look=look,
         ),
         grid=(B, nb),
         in_specs=[
-            # HBM + tile-aligned windows: Mosaic accepts dynamic memref
-            # slices only at sublane-tile-aligned offsets/lengths (8 rows
-            # f32 / 16 rows bf16), hence the `look` rounding above; pl.ANY
-            # may also place the array in VMEM where the constraint is the
-            # same but the DMA becomes a VMEM-to-VMEM copy.
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(  # this block's rows
+                (bf, hop),
+                lambda b, j, nb=nb: (b * (nb + 1) + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # next block's rows (frame lookahead)
+                (bf, hop),
+                lambda b, j, nb=nb: (b * (nb + 1) + j + 1, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (wdft.shape[0], wdft.shape[1]),
                 lambda b, j: (0, 0),
@@ -258,10 +251,6 @@ def fused_frontend_framed(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B * t_pad, F_out), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((bf + look, hop), y.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * t_pad * frame_len * wdft.shape[1]
@@ -271,5 +260,5 @@ def fused_frontend_framed(
             + 4 * B * t_pad * F_out,
             transcendentals=B * t_pad * mel_fb.shape[1],
         ),
-    )(rows, wdft, mel_fb, post)
+    )(rows, rows, wdft, mel_fb, post)
     return out.reshape(B, t_pad, F_out)[:, :max_frames]
