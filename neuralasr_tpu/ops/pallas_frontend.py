@@ -185,7 +185,11 @@ def fused_frontend_framed(
     floor: float,
     hop: int,
     frame_len: int,
-    block_frames: int = 256,
+    # 1024 frames/program: at 256 the (B, nb) grid paid ~12 us of
+    # per-program overhead per block (measured 3.0 ms at batch 64, ~10x
+    # the bandwidth bound); bigger blocks amortize it and still fit VMEM
+    # (2 x [1024,160] bf16 rows + [400,514] basis ~ 1.5 MB).
+    block_frames: int = 1024,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """[B, N] waveform -> [B, max_frames, F_out] features, one fused kernel
