@@ -111,12 +111,11 @@ def main() -> None:
     p.add_argument("--fused-scan", action="store_true",
                    help="fwd+bwd directions in one scan per BiLSTM layer "
                         "(half the sequential dispatches; bilstm only)")
-    p.add_argument("--ctc-impl", default="pallas",
-                   choices=["scan", "pallas"],
-                   help="CTC recursions: single Pallas kernels (default — "
-                        "measured ~1%% faster at step level, "
-                        "runs/bench_suite.jsonl r3b/r3d rows) or XLA scan "
-                        "(the library default for training)")
+    p.add_argument("--ctc-impl", default="scan", choices=["scan", "pallas"],
+                   help="CTC recursions: XLA scan (default) or single "
+                        "Pallas kernels (ops/pallas_ctc.py) — both within "
+                        "~1-2%% at step level (bench_suite r3b/r3c/r3d "
+                        "rows)")
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--beam-merge", default="allpairs",
                    choices=["allpairs", "sort"],

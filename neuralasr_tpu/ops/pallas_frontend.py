@@ -185,11 +185,13 @@ def fused_frontend_framed(
     floor: float,
     hop: int,
     frame_len: int,
-    # 1024 frames/program: at 256 the (B, nb) grid paid ~12 us of
-    # per-program overhead per block (measured 3.0 ms at batch 64, ~10x
-    # the bandwidth bound); bigger blocks amortize it and still fit VMEM
-    # (2 x [1024,160] bf16 rows + [400,514] basis ~ 1.5 MB).
-    block_frames: int = 1024,
+    # 256 frames/program, measured optimum on v5e (bench_suite r3d rows):
+    # 3.0 ms at batch 64.  1024-frame blocks measured WORSE (4.2 ms) —
+    # the [bf, 514] f32 DFT intermediate grows to ~2 MB/stage and VMEM
+    # pressure breaks the grid's double-buffering; 256 keeps the whole
+    # working set small enough to pipeline, and the residual cost is
+    # per-program overhead (~12 us x 256 programs), not bandwidth.
+    block_frames: int = 256,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """[B, N] waveform -> [B, max_frames, F_out] features, one fused kernel
