@@ -147,6 +147,50 @@ def test_checkpoint_restore_empty(tmp_path):
     assert state is None and meta is None
 
 
+def test_wer_gate_fails_on_seeded_regression(tmp_path, tiny_cfg, capsys):
+    """evaluate.py --gate must exit non-zero when WER exceeds the gate
+    (VERDICT r2 item 4's done-criterion: the ladder fails on regression
+    instead of recording numbers).  An untrained checkpoint against an
+    impossible gate is the seeded regression."""
+    import json
+    import sys
+
+    from neuralasr_tpu.cli import evaluate as eval_cli
+    from neuralasr_tpu.configs import PRESETS
+    from neuralasr_tpu.utils.checkpoint import Checkpointer
+
+    cfg = dataclasses.replace(tiny_cfg, name="_gatetest")
+    PRESETS["_gatetest"] = cfg
+    try:
+        tr = Trainer(cfg)
+        workdir = str(tmp_path / "wd")
+        ck = Checkpointer(workdir + "/ckpt")
+        ck.save(1, tr.state, {"step": 1, "config": cfg.to_json()},
+                blocking=True)
+        ck.close()
+        argv = ["evaluate.py", "--config", "_gatetest", "--workdir",
+                workdir, "--max-utts", "8", "--greedy-only", "--cpu"]
+        old = sys.argv
+        # Impossible gate: untrained WER ~1.0 >> 1e-6 -> must exit 1.
+        sys.argv = argv + ["--gate", "0.000001"]
+        try:
+            with pytest.raises(SystemExit) as e:
+                eval_cli.main()
+            assert e.value.code == 1
+        finally:
+            sys.argv = old
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert json.loads(out)["greedy_wer"] > 0.5  # the regression is real
+        # Generous gate on the same checkpoint passes (exit 0 = no raise).
+        sys.argv = argv + ["--gate", "5.0"]
+        try:
+            eval_cli.main()
+        finally:
+            sys.argv = old
+    finally:
+        PRESETS.pop("_gatetest", None)
+
+
 def test_synthetic_corpus_deterministic():
     c1 = SyntheticCorpus(8, seed=5)
     c2 = SyntheticCorpus(8, seed=5)
