@@ -23,7 +23,6 @@ diverges from the host oracle on any triaged utterance.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 
