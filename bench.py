@@ -96,6 +96,13 @@ def main() -> None:
     p.add_argument("--pallas-attention", action="store_true", default=None)
     p.add_argument("--no-pallas-attention", dest="pallas_attention",
                    action="store_false")
+    p.add_argument("--attn-min-t", type=int, default=None,
+                   help="static attention dispatch threshold "
+                        "(ModelConfig.pallas_attn_min_t): programs with "
+                        "padded T below this use XLA attention, at/above "
+                        "it the Pallas kernel; 0 forces the kernel "
+                        "everywhere (the pre-r3 behavior). Default: the "
+                        "config's measured 512.")
     p.add_argument("--partition-attention", action="store_true",
                    help="force the custom_partitioning wrapper even on one "
                         "device (A/B the partitioning boundary's cost)")
@@ -155,6 +162,8 @@ def main() -> None:
             use_pallas_attention=use_pallas_attn,
             dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         )
+        if args.attn_min_t is not None:
+            model_over["pallas_attn_min_t"] = args.attn_min_t
     cfg = dataclasses.replace(
         base,
         num_utterances=64,
@@ -512,6 +521,9 @@ def main() -> None:
         "batch": B,
         "bucket_audio_s": audio_s / B,
     }
+    if args.model != "bilstm4x512":
+        out["pallas_attention"] = bool(use_pallas_attn)
+        out["attn_min_t"] = cfg.model.pallas_attn_min_t
     if breakdown:
         out["breakdown"] = breakdown
     print(json.dumps(out))

@@ -79,6 +79,17 @@ class MHSA(nn.Module):
     # custom-call partitioning boundary); True is required under meshes.
     partition: bool = True
     dtype: Dtype = jnp.float32
+    # Engage the Pallas kernel only for programs whose (static) T is at
+    # least this many frames; below it, plain XLA attention.  T is a
+    # trace-time constant per bucket program, so this is compile-time
+    # dispatch: short buckets get XLA attention, long buckets the blockwise
+    # kernel.  Measured on 1x v5e (runs/encoder_trace_attrib.json + the
+    # crossover ladder in BASELINE.md r3): at T=240/B=64 the kernel's grid
+    # (B*H programs x ~12 us dispatch overhead) costs ~0.9 ms/layer more
+    # than XLA attention (24 % of the whole train step across 12 blocks);
+    # from T~480 the two tie, and at long T the kernel wins on memory (no
+    # [B,H,T,T] materialization).  0 = always use the kernel.
+    attn_min_t: int = 0
 
     @nn.compact
     def __call__(self, x, mask_b_t, train: bool):
@@ -92,7 +103,7 @@ class MHSA(nn.Module):
         k = rope(k.reshape(B, T, H, Dh))
         v = v.reshape(B, T, H, Dh)
 
-        if self.use_pallas:
+        if self.use_pallas and T >= self.attn_min_t:
             from ..ops.pallas_attention import (
                 flash_attention,
                 flash_attention_local,
@@ -149,6 +160,7 @@ class ConformerBlock(nn.Module):
     use_pallas_attention: bool = False
     partition_attention: bool = True
     dtype: Dtype = jnp.float32
+    attn_min_t: int = 0
 
     @nn.compact
     def __call__(self, x, mask_b_t, train: bool):
@@ -162,6 +174,7 @@ class ConformerBlock(nn.Module):
             self.use_pallas_attention,
             self.partition_attention,
             self.dtype,
+            attn_min_t=self.attn_min_t,
             name="mhsa",
         )(x, mask_b_t, train)
         x = x + ConvModule(
@@ -183,6 +196,7 @@ class ConformerEncoder(nn.Module):
     use_pallas_attention: bool = False
     partition_attention: bool = True
     dtype: Dtype = jnp.float32
+    attn_min_t: int = 0
 
     @nn.compact
     def __call__(self, x, lens, train: bool = False):
@@ -200,6 +214,7 @@ class ConformerEncoder(nn.Module):
                 self.use_pallas_attention,
                 self.partition_attention,
                 self.dtype,
+                attn_min_t=self.attn_min_t,
                 name=f"block_{i}",
             )(x, mask_b_t, train)
         return x * mask_b_t[:, :, None].astype(x.dtype)

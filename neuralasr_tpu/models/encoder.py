@@ -38,6 +38,14 @@ class ModelConfig:
     # False drops the custom_partitioning boundary around the attention
     # kernel (single-device only; Trainer clears it on 1-device meshes).
     partition_attention: bool = True
+    # Static per-program attention dispatch: bucket programs whose padded
+    # frame count T is below this use plain XLA attention; at/above it the
+    # Pallas blockwise kernel engages.  Measured crossover on 1x v5e
+    # (BASELINE.md r3 "attention policy"): the kernel's per-grid-program
+    # dispatch overhead loses ~0.9 ms/layer to XLA attention at T=240 and
+    # ties from T~480; XLA's [B,H,T,T] materialization only threatens HBM
+    # at multi-thousand-frame T.  0 = kernel whenever use_pallas_attention.
+    pallas_attn_min_t: int = 512
     dtype: Any = jnp.float32
     # LSTM recurrence unroll: higher amortizes loop overhead but multiplies
     # XLA compile time of every (bucket) program; 8 ~ throughput plateau.
@@ -112,6 +120,7 @@ class CTCModel(nn.Module):
                 dropout=cfg.dropout,
                 use_pallas_attention=cfg.use_pallas_attention,
                 partition_attention=cfg.partition_attention,
+                attn_min_t=cfg.pallas_attn_min_t,
                 dtype=cfg.dtype,
                 name="encoder",
             )(h, lens, train=train)

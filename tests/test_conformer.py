@@ -156,3 +156,49 @@ def test_dropout_enabled_trains():
     batch = next(iter(tr.loader.epoch(0)))
     m = tr.train_batch(batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_attn_min_t_static_dispatch_and_parity():
+    """pallas_attn_min_t is compile-time dispatch: programs with padded
+    T below the threshold must contain no pallas_call (XLA attention),
+    those at/above must contain one per block — and both paths agree
+    numerically (the measured-policy change of BASELINE.md r3 cannot
+    change model outputs)."""
+    import dataclasses
+
+    def build(min_t):
+        cfg = ModelConfig(
+            encoder_type="conformer",
+            num_layers=2,
+            hidden=64,
+            num_heads=4,
+            conv_subsample=True,
+            conv_out_dim=64,
+            use_pallas_attention=True,
+            partition_attention=False,
+            pallas_attn_min_t=min_t,
+        )
+        return CTCModel(cfg)
+
+    B, T, F = 2, 40, 80  # 10 encoder frames after 4x subsample
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    lens = jnp.asarray([40, 17], dtype=jnp.int32)
+
+    m_kernel = build(0)      # threshold 0: kernel always engages
+    m_xla = build(512)       # 10 frames < 512: XLA attention
+    params = m_kernel.init(jax.random.PRNGKey(0), feats, lens)["params"]
+
+    jx_kernel = str(jax.make_jaxpr(
+        lambda p: m_kernel.apply({"params": p}, feats, lens))(params))
+    jx_xla = str(jax.make_jaxpr(
+        lambda p: m_xla.apply({"params": p}, feats, lens))(params))
+    assert "pallas_call" in jx_kernel
+    assert "pallas_call" not in jx_xla
+
+    lg_k, ol_k = m_kernel.apply({"params": params}, feats, lens)
+    lg_x, ol_x = m_xla.apply({"params": params}, feats, lens)
+    assert list(np.asarray(ol_k)) == list(np.asarray(ol_x))
+    np.testing.assert_allclose(
+        np.asarray(lg_k), np.asarray(lg_x), atol=2e-4, rtol=2e-4
+    )
