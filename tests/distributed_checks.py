@@ -78,6 +78,7 @@ def check_tp_matches_unsharded():
             hidden=64,
             num_heads=4,
             use_pallas_attention=True,  # partitions via custom_partitioning
+            pallas_attn_min_t=0,  # force the kernel at this tiny T
         ),
     )
     devs = jax.devices("cpu")
@@ -161,6 +162,7 @@ def check_resharding_restore():
             hidden=64,
             num_heads=4,
             use_pallas_attention=True,
+            pallas_attn_min_t=0,  # force the kernel at this tiny T
         ),
     )
     tr_tp = Trainer(
