@@ -41,35 +41,60 @@ def _attention_ref(q, k, v, lens):
     return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
 
-def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_q: int, T: int):
-    # len_ref: scalar-prefetch [B*H] in SMEM; q_ref [1, BQ, D];
-    # k_ref/v_ref [1, T, D].  (Heads are folded into the grid's batch dim so
+def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_q: int, T: int,
+            G: int):
+    # len_ref: scalar-prefetch [B*H] in SMEM; q_ref [G, BQ, D];
+    # k_ref/v_ref [G, T, D].  (Heads are folded into the grid's batch dim so
     # the trailing block dims are (time, head_dim) — the TPU-tileable
     # layout; per-row lengths ride in as prefetched scalars.)
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    D = q.shape[-1]
+    #
+    # G batch-head rows per program (statically unrolled): each grid-program
+    # dispatch costs ~12 us on v5e, so the G=1 grid of B*H*ceil(T/BQ)
+    # programs was dispatch-overhead-bound at ASR shapes — 768 programs
+    # ~ 9 ms at (B=64, H=6, T=240), ~7x the kernel's compute
+    # (BASELINE.md r3 "attention dispatch policy").  Folding G rows cuts
+    # dispatches G-fold; the per-row matmuls are unchanged.
+    D = q_ref.shape[-1]
     scale = 1.0 / (D**0.5)
-    s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [BQ, T]
-    n = len_ref[pl.program_id(0)]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype),
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / denom
-    o_ref[0] = o.astype(o_ref.dtype)
+    for g in range(G):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [BQ, T]
+        n = len_ref[pl.program_id(0) * G + g]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / denom
+        o_ref[g] = o.astype(o_ref.dtype)
+
+
+# Keep a program's blocks (double-buffered q/o and k/v stripes) comfortably
+# inside the ~16 MB/core VMEM next to the [BQ, T] f32 score scratch.
+_FWD_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _fold_rows(BH: int, T: int, bq: int, D: int, itemsize: int) -> int:
+    """Largest G <= 8 dividing B*H whose blocks fit the VMEM budget."""
+    for G in (8, 6, 4, 3, 2):
+        if BH % G:
+            continue
+        blocks = (2 * bq * D + 2 * T * D) * G * itemsize * 2  # double-buffer
+        if blocks + bq * T * 4 <= _FWD_VMEM_BUDGET:
+            return G
+    return 1
 
 
 def _forward(q, k, v, lens, block_q: int = 128, interpret: bool | None = None):
@@ -84,32 +109,33 @@ def _forward(q, k, v, lens, block_q: int = 128, interpret: bool | None = None):
     kf = k.transpose(0, 2, 1, 3).reshape(B * H, T, D)
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, T, D)
     lens_bh = jnp.repeat(lens.astype(jnp.int32), H)  # [B*H] scalar-prefetch
-    grid = (B * H, pl.cdiv(T, bq))
+    G = _fold_rows(B * H, T, bq, D, q.dtype.itemsize)
+    grid = (B * H // G, pl.cdiv(T, bq))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, bq, D), lambda bh, qi, lens: (bh, qi, 0),
+                (G, bq, D), lambda bh, qi, lens: (bh, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, T, D), lambda bh, qi, lens: (bh, 0, 0),
+                (G, T, D), lambda bh, qi, lens: (bh, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, T, D), lambda bh, qi, lens: (bh, 0, 0),
+                (G, T, D), lambda bh, qi, lens: (bh, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, bq, D), lambda bh, qi, lens: (bh, qi, 0),
+            (G, bq, D), lambda bh, qi, lens: (bh, qi, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     of = pl.pallas_call(
-        functools.partial(_kernel, block_q=bq, T=T),
+        functools.partial(_kernel, block_q=bq, T=T, G=G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
         interpret=interpret,
@@ -227,55 +253,58 @@ def _bwd_local(res, g):
 
 
 def _bwd_kernel(len_ref, q_ref, k_ref, v_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, T: int):
-    """One (batch*head) per program: recompute P = softmax(QK^T m) in VMEM,
-    then dV = P^T dO; dS = mask * P * (dP - rowsum(P*dP)); dQ = dS K s;
-    dK = dS^T Q s.  Mirrors the jnp reference VJP exactly, including the
-    padded-row convention (fully-masked rows give uniform P into dV and
-    zero dS into dQ/dK — the where() in the reference blocks that path)."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    D = q.shape[-1]
+                dq_ref, dk_ref, dv_ref, *, T: int, G: int):
+    """G (batch*head) rows per program (statically unrolled — same
+    dispatch-overhead amortization as the forward): recompute
+    P = softmax(QK^T m) in VMEM, then dV = P^T dO;
+    dS = mask * P * (dP - rowsum(P*dP)); dQ = dS K s; dK = dS^T Q s.
+    Mirrors the jnp reference VJP exactly, including the padded-row
+    convention (fully-masked rows give uniform P into dV and zero dS into
+    dQ/dK — the where() in the reference blocks that path)."""
+    D = q_ref.shape[-1]
     scale = 1.0 / (D**0.5)
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [T, T]
-    n = len_ref[pl.program_id(0)]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    mask = col < n
-    s = jnp.where(mask, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [T, T] f32
+    for g in range(G):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        do = do_ref[g]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [T, T]
+        n = len_ref[pl.program_id(0) * G + g]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = col < n
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [T, T] f32
 
-    dof = do.astype(jnp.float32)
-    dv = jax.lax.dot_general(  # P^T @ dO
-        p, dof, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(  # dO @ V^T
-        dof, v.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    d_row = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = jnp.where(mask, p * (dp - d_row), 0.0)
-    dq = jax.lax.dot_general(  # dS @ K
-        ds, k.astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    dk = jax.lax.dot_general(  # dS^T @ Q
-        ds, q.astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        dof = do.astype(jnp.float32)
+        dv = jax.lax.dot_general(  # P^T @ dO
+            p, dof, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # dO @ V^T
+            dof, v.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_row = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = jnp.where(mask, p * (dp - d_row), 0.0)
+        dq = jax.lax.dot_general(  # dS @ K
+            ds, k.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(  # dS^T @ Q
+            ds, q.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_ref[g] = dq.astype(dq_ref.dtype)
+        dk_ref[g] = dk.astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
 
 
 # The backward holds one T x T f32 score matrix plus (P, dS) scratch and
@@ -287,6 +316,20 @@ def _bwd_fits_vmem(T: int, D: int) -> bool:
     return (3 * T * T + 7 * T * D) * 4 <= _BWD_VMEM_BUDGET
 
 
+def _bwd_fold_rows(BH: int, T: int, D: int, itemsize: int) -> int:
+    """Largest G <= 8 dividing B*H that keeps the seven [T, D] stripes per
+    row (double-buffered) plus the per-iteration [T, T] f32 scratch under
+    budget.  The scratch is reused across the unrolled G iterations, so it
+    counts once."""
+    for G in (8, 6, 4, 3, 2):
+        if BH % G:
+            continue
+        stripes = 7 * T * D * G * itemsize * 2
+        if stripes + 3 * T * T * 4 <= _BWD_VMEM_BUDGET:
+            return G
+    return 1
+
+
 def _backward_pallas(q, k, v, lens, g, interpret: bool | None = None):
     B, T, H, D = q.shape
     if interpret is None:
@@ -296,17 +339,18 @@ def _backward_pallas(q, k, v, lens, g, interpret: bool | None = None):
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, T, D)
     gf = g.transpose(0, 2, 1, 3).reshape(B * H, T, D)
     lens_bh = jnp.repeat(lens.astype(jnp.int32), H)
+    G = _bwd_fold_rows(B * H, T, D, q.dtype.itemsize)
     spec = pl.BlockSpec(
-        (1, T, D), lambda bh, lens: (bh, 0, 0), memory_space=pltpu.VMEM
+        (G, T, D), lambda bh, lens: (bh, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * H,),
+        grid=(B * H // G,),
         in_specs=[spec] * 4,
         out_specs=[spec] * 3,
     )
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, T=T),
+        functools.partial(_bwd_kernel, T=T, G=G),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B * H, T, D), q.dtype)] * 3,
         interpret=interpret,
