@@ -102,6 +102,10 @@ def ctc_loss(
             return _ctc_loss_fb_pallas(
                 logits, labels, input_lens, label_lens, blank_id
             )
+        if impl == "pallas_stream":
+            return _ctc_loss_fb_pallas_stream(
+                logits, labels, input_lens, label_lens, blank_id
+            )
         return _ctc_loss_fb(logits, labels, input_lens, label_lens, blank_id)
     lp = logits if log_probs_in else jax.nn.log_softmax(logits, axis=-1)
     ll = ctc_forward(lp, labels, input_lens, label_lens, blank_id)
@@ -327,6 +331,63 @@ def _ctc_fb_pallas_bwd(blank_id, res, g):
 
 
 _ctc_loss_fb_pallas.defvjp(_ctc_fb_pallas_fwd, _ctc_fb_pallas_bwd)
+
+
+# ------------- zero-dispatch streaming Pallas variant (round 4) -------------
+#
+# Same recursions as "pallas", but each direction is ONE grid-free Pallas
+# program with the log-probs / alphas streamed through double-buffered
+# async copies (ops/pallas_ctc.py streaming kernels) — no per-frame grid
+# dispatch at all (VERDICT r3 item 5).
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ctc_loss_fb_pallas_stream(logits, labels, input_lens, label_lens,
+                               blank_id):
+    out, _ = _ctc_fb_pallas_stream_fwd(
+        logits, labels, input_lens, label_lens, blank_id
+    )
+    return out
+
+
+def _ctc_fb_pallas_stream_fwd(logits, labels, input_lens, label_lens,
+                              blank_id):
+    from ..ops.pallas_ctc import ctc_alpha_forward_stream
+
+    B, T, V = logits.shape
+    L = labels.shape[1]
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    ext, allow_skip, state_valid = _lattice(labels, label_lens, blank_id, B, L)
+    lp_tm = jnp.transpose(lp, (1, 0, 2)).astype(jnp.float32)
+    ll, alphas = ctc_alpha_forward_stream(
+        lp_tm, ext, allow_skip, state_valid, input_lens, label_lens
+    )
+    res = (lp, alphas, ll, ext, allow_skip, state_valid,
+           input_lens, label_lens)
+    return -ll, res
+
+
+def _ctc_fb_pallas_stream_bwd(blank_id, res, g):
+    from ..ops.pallas_ctc import ctc_beta_occupancy_stream
+
+    (lp, alphas, ll, ext, allow_skip, state_valid,
+     input_lens, label_lens) = res
+    B, T, V = lp.shape
+    lp_tm = jnp.transpose(lp, (1, 0, 2)).astype(jnp.float32)
+    occ = ctc_beta_occupancy_stream(
+        lp_tm, alphas, ext, allow_skip, state_valid,
+        input_lens, label_lens, ll,
+    )  # [T, B, V]
+    occ = jnp.transpose(occ, (1, 0, 2))
+    y = jnp.exp(lp)
+    valid_t = (jnp.arange(T)[None, :] < input_lens[:, None])[:, :, None]
+    grad = jnp.where(valid_t, y - occ, 0.0) * g[:, None, None]
+    return grad.astype(lp.dtype), None, None, None
+
+
+_ctc_loss_fb_pallas_stream.defvjp(
+    _ctc_fb_pallas_stream_fwd, _ctc_fb_pallas_stream_bwd
+)
 
 
 def checked_ctc_loss(

@@ -1,19 +1,38 @@
-"""Fused self-attention Pallas kernel for ASR-length sequences.
+"""Fused self-attention Pallas kernels for ASR-length sequences.
 
-Design (see /opt/skills/guides/pallas_guide.md): grid over
-(batch, heads, query-blocks); each program holds its full K/V stripe in VMEM
-(ASR T <= ~3k frames after 4x subsampling, so K/V stripes are <1 MB — no
+Design (see /opt/skills/guides/pallas_guide.md): the forward grid runs over
+(batch*head row groups, query blocks); each program holds its K/V stripe in
+VMEM (ASR T <= ~3k frames after 4x subsampling, so stripes are <1 MB — no
 streaming needed), computes S = QK^T on the MXU, masks padded keys from the
 per-row length, softmaxes in VMEM, and hits the MXU again for PV.  This is
 the "Pallas attention blockwise over time within one chip" of SURVEY.md §6.
 
-Backward: a fused Pallas kernel (one program per (batch, head)) that
-recomputes S in VMEM and emits dQ/dK/dV in a single pass — no O(T^2)
-residuals ever reach HBM, unlike round 1's XLA rematerialization which
-materialized the full attention matrix in the backward (VERDICT.md round-1
-weak #8).  ASR sequences after 4x subsampling are short enough (T <= ~1k)
-that the whole T x T scratch fits VMEM; longer inputs fall back to the jnp
-reference VJP (the guard is explicit, not a silent cliff).
+Round-4 changes (VERDICT r3 items 1/2, ADVICE r3):
+
+- **RoPE fused in-kernel.**  Rotary embedding is applied to Q and K inside
+  the kernels from precomputed [T, D] cos/sin tables, formulated as
+  x*cos + (x @ R)*sin where R is the constant [D, D] rotation permutation —
+  a tiny MXU matmul instead of lane-dim slicing/concatenation (which Mosaic
+  restricts at D=64 < the 128 lane tile).  The roped Q/K never exist in
+  HBM, and the 12 blocks' per-block rope glue (forward AND its transpose in
+  the backward) leaves the XLA graph entirely.  The backward un-ropes
+  dQ/dK in-kernel (the VJP of a rotation is the inverse rotation:
+  dx = dy*cos - (dy*sin) @ R, since R^T = -R).
+- **Q-blocked backward.**  The round-3 backward held the full [T, T] score
+  matrix per program, so T >~ 900 fell off a cliff to an XLA
+  rematerialized VJP.  Now the grid is (row groups, q blocks); per-program
+  intermediates are [bq, T], dK/dV accumulate in f32 VMEM scratch across
+  the q-block iterations (Pallas grids execute sequentially; the
+  accumulator pattern from the guide), and K's rope is computed once per
+  row group into scratch.  Any ASR-reachable T now runs in-kernel.
+- **Per-unroll VMEM accounting** (ADVICE r3 low): each of the G statically
+  unrolled row iterations materializes its own [bq, T] f32 intermediates;
+  the block-size search charges them per-G instead of once.
+
+G (batch*head) rows are folded per grid program because each program
+dispatch costs ~12 us on v5e: the round-3 G=1 grid of B*H*ceil(T/bq)
+programs was dispatch-overhead-bound at ASR shapes (768 programs ~ 9 ms at
+B=64, H=6, T=240 — BASELINE.md r3 "attention dispatch policy").
 
 Off-TPU the kernels run in interpret mode, keeping tests CPU-runnable.
 """
@@ -30,9 +49,44 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attention_ref(q, k, v, lens):
-    """jnp reference: q,k,v [B,T,H,D], lens [B] -> [B,T,H,D]."""
+# ---------------- RoPE tables and reference ----------------
+
+
+def rope_tables(T: int, D: int, base: float = 10000.0):
+    """Full-dim rotary tables: cos/sin [T, D] f32 with both halves repeated,
+    so rope(x) = x * cos + rot_half(x) * sin elementwise over the last dim."""
+    half = D // 2
+    freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = jnp.arange(T, dtype=jnp.float32)[:, None] * freqs[None, :]
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    return (
+        jnp.concatenate([cos, cos], axis=1),
+        jnp.concatenate([sin, sin], axis=1),
+    )
+
+
+def identity_tables(T: int, D: int):
+    """cos=1, sin=0: rope becomes the identity (no-rope attention)."""
+    return jnp.ones((T, D), jnp.float32), jnp.zeros((T, D), jnp.float32)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """XLA-side rope from [T, D] tables; x is [B, T, H, D].  Identical math
+    to the in-kernel formulation (used by the short-T XLA attention path and
+    the parity references)."""
+    half = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
+    out = xf * cos[None, :, None, :] + rot * sin[None, :, None, :]
+    return out.astype(x.dtype)
+
+
+def _attention_ref(q, k, v, lens, cos, sin):
+    """jnp reference: q,k,v [B,T,H,D], lens [B], tables [T,D] -> [B,T,H,D]."""
     B, T, H, D = q.shape
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
     scale = 1.0 / (D**0.5)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
     mask = jnp.arange(T)[None, :] < lens[:, None]  # [B, T]
@@ -41,24 +95,62 @@ def _attention_ref(q, k, v, lens):
     return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
 
-def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_q: int, T: int,
-            G: int):
-    # len_ref: scalar-prefetch [B*H] in SMEM; q_ref [G, BQ, D];
-    # k_ref/v_ref [G, T, D].  (Heads are folded into the grid's batch dim so
-    # the trailing block dims are (time, head_dim) — the TPU-tileable
-    # layout; per-row lengths ride in as prefetched scalars.)
-    #
-    # G batch-head rows per program (statically unrolled): each grid-program
-    # dispatch costs ~12 us on v5e, so the G=1 grid of B*H*ceil(T/BQ)
-    # programs was dispatch-overhead-bound at ASR shapes — 768 programs
-    # ~ 9 ms at (B=64, H=6, T=240), ~7x the kernel's compute
-    # (BASELINE.md r3 "attention dispatch policy").  Folding G rows cuts
-    # dispatches G-fold; the per-row matmuls are unchanged.
+# ---------------- in-kernel rope ----------------
+
+
+def _rot_mat(D: int):
+    """Constant [D, D] matrix with x @ R == rot_half(x) == [-x2, x1].
+    Built from iotas in-kernel (no extra input); R^T == -R."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    half = D // 2
+    m = jnp.where(r - half == c, -1.0, 0.0) + jnp.where(c - half == r, 1.0, 0.0)
+    return m.astype(jnp.float32)
+
+
+def _rope_rows(x, cos, sin, R):
+    """x [rows, D] any dtype -> roped f32 [rows, D]; tables f32 [rows, D]."""
+    xf = x.astype(jnp.float32)
+    xr = jax.lax.dot_general(
+        xf, R, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return xf * cos + xr * sin
+
+
+def _unrope_rows(dy, cos, sin, R):
+    """VJP of _rope_rows at f32: dx = dy*cos - (dy*sin) @ R."""
+    return dy * cos - jax.lax.dot_general(
+        dy * sin, R, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------- forward kernel ----------------
+
+
+def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, cosq_ref, sinq_ref,
+                cosk_ref, sink_ref, o_ref, kr_scr, *, G: int):
+    # q_ref [G, BQ, D]; k_ref/v_ref [G, T, D]; cosq/sinq [BQ, D] (this
+    # q block's table rows); cosk/sink [T, D].  Grid (bh, qi), qi fastest:
+    # K's rope is computed once per row group (qi == 0) into kr_scr and
+    # reused across the q blocks.
     D = q_ref.shape[-1]
     scale = 1.0 / (D**0.5)
+    R = _rot_mat(D)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for g in range(G):
+            kr_scr[g] = _rope_rows(
+                k_ref[g], cosk_ref[:], sink_ref[:], R
+            ).astype(kr_scr.dtype)
+
     for g in range(G):
-        q = q_ref[g]
-        k = k_ref[g]
+        q = _rope_rows(q_ref[g], cosq_ref[:], sinq_ref[:], R).astype(
+            q_ref.dtype
+        )
+        k = kr_scr[g]
         v = v_ref[g]
         s = jax.lax.dot_general(
             q,
@@ -81,30 +173,36 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_q: int, T: int,
         o_ref[g] = o.astype(o_ref.dtype)
 
 
-# Keep a program's blocks (double-buffered q/o and k/v stripes) comfortably
-# inside the ~16 MB/core VMEM next to the [BQ, T] f32 score scratch.
+# Keep a program's blocks (double-buffered q/o and k/v stripes), the roped-K
+# scratch, and the per-unrolled-row [BQ, T] f32 intermediates comfortably
+# inside the ~16 MB/core VMEM.
 _FWD_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _fold_rows(BH: int, T: int, bq: int, D: int, itemsize: int) -> int:
-    """Largest G <= 8 dividing B*H whose blocks fit the VMEM budget."""
-    for G in (8, 6, 4, 3, 2):
+    """Largest G <= 8 dividing B*H whose working set fits the VMEM budget.
+    The [bq, T] f32 score/prob intermediates are charged PER unrolled row
+    (ADVICE r3: Mosaic may not reuse them across the static unroll)."""
+    for G in (8, 6, 4, 3, 2, 1):
         if BH % G:
             continue
         blocks = (2 * bq * D + 2 * T * D) * G * itemsize * 2  # double-buffer
-        if blocks + bq * T * 4 <= _FWD_VMEM_BUDGET:
+        scratch = G * T * D * itemsize  # roped-K scratch
+        inter = G * 2 * bq * T * 4  # s and p, per unrolled row
+        tables = (2 * bq * D + 2 * T * D) * 4 * 2
+        if blocks + scratch + inter + tables <= _FWD_VMEM_BUDGET:
             return G
     return 1
 
 
-def _forward(q, k, v, lens, block_q: int = 128, interpret: bool | None = None):
+def _forward(q, k, v, lens, cos, sin, block_q: int = 128,
+             interpret: bool | None = None):
     B, T, H, D = q.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bq = min(block_q, T)
     # Fold heads into the grid's batch dim: [B,T,H,D] -> [B*H,T,D] so every
-    # block's trailing dims are (time, head_dim) — TPU tiling wants the last
-    # two dims (divisible by 8, 128) or equal to the array dims.
+    # block's trailing dims are (time, head_dim) — the TPU-tileable layout.
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, T, D)
     kf = k.transpose(0, 2, 1, 3).reshape(B * H, T, D)
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, T, D)
@@ -112,6 +210,12 @@ def _forward(q, k, v, lens, block_q: int = 128, interpret: bool | None = None):
     G = _fold_rows(B * H, T, bq, D, q.dtype.itemsize)
     grid = (B * H // G, pl.cdiv(T, bq))
 
+    tab = lambda im: pl.BlockSpec(
+        (bq, D) if im == "q" else (T, D),
+        (lambda bh, qi, lens: (qi, 0)) if im == "q"
+        else (lambda bh, qi, lens: (0, 0)),
+        memory_space=pltpu.VMEM,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -128,23 +232,28 @@ def _forward(q, k, v, lens, block_q: int = 128, interpret: bool | None = None):
                 (G, T, D), lambda bh, qi, lens: (bh, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            tab("q"),  # cos rows for this q block
+            tab("q"),  # sin rows for this q block
+            tab("k"),  # cos, full T (for K)
+            tab("k"),  # sin, full T (for K)
         ],
         out_specs=pl.BlockSpec(
             (G, bq, D), lambda bh, qi, lens: (bh, qi, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((G, T, D), q.dtype)],
     )
     of = pl.pallas_call(
-        functools.partial(_kernel, block_q=bq, T=T, G=G),
+        functools.partial(_fwd_kernel, G=G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * T * T * D,
+            flops=4 * B * H * T * T * D + 4 * B * H * T * D * D,
             bytes_accessed=4 * (3 * B * T * H * D + B * T * H * D),
             transcendentals=B * H * T * T,
         ),
-    )(lens_bh, qf, kf, vf)
+    )(lens_bh, qf, kf, vf, cos, sin, cos, sin)
     return of.reshape(B, H, T, D).transpose(0, 2, 1, 3)
 
 
@@ -158,8 +267,9 @@ def _forward(q, k, v, lens, block_q: int = 128, interpret: bool | None = None):
 # batch and head axes are embarrassingly parallel (each (b, h) pair's
 # attention is independent), while time and head_dim must stay whole on
 # each shard (the kernel holds the full K/V stripe in VMEM and masks keys
-# from per-row lengths).  The partitioner then runs the kernel per-shard
-# on ('data' x 'model')-sharded activations with zero collectives.
+# from per-row lengths).  The rope tables are position-indexed constants,
+# replicated on every shard.  The partitioner then runs the kernel
+# per-shard on ('data' x 'model')-sharded activations with zero collectives.
 
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -173,7 +283,8 @@ def _attn_specs(mesh, arg_shapes):
     h = spec[2] if len(spec) > 2 else None
     qkv = NamedSharding(mesh, P(b, None, h, None))
     lens = NamedSharding(mesh, P(b))
-    return qkv, lens
+    tabs = NamedSharding(mesh, P(None, None))
+    return qkv, lens, tabs
 
 
 def _infer_sharding(mesh, arg_shapes, result_shape):
@@ -181,17 +292,17 @@ def _infer_sharding(mesh, arg_shapes, result_shape):
 
 
 def _partition(mesh, arg_shapes, result_shape):
-    qkv, lens = _attn_specs(mesh, arg_shapes)
+    qkv, lens, tabs = _attn_specs(mesh, arg_shapes)
 
-    def lower_fn(q, k, v, l):
-        return _forward(q, k, v, l)
+    def lower_fn(q, k, v, l, cos, sin):
+        return _forward(q, k, v, l, cos, sin)
 
-    return mesh, lower_fn, qkv, (qkv, qkv, qkv, lens)
+    return mesh, lower_fn, qkv, (qkv, qkv, qkv, lens, tabs, tabs)
 
 
 @custom_partitioning
-def _forward_partitioned(q, k, v, lens):
-    return _forward(q, k, v, lens)
+def _forward_partitioned(q, k, v, lens, cos, sin):
+    return _forward(q, k, v, lens, cos, sin)
 
 
 _forward_partitioned.def_partition(
@@ -199,31 +310,9 @@ _forward_partitioned.def_partition(
     infer_sharding_from_operands=_infer_sharding,  # GSPMD path
     # Shardy path (the jax 0.9 default partitioner): einsum-style rule —
     # b and h shard freely; t and d must be replicated per shard.
-    sharding_rule="b t h d, b t h d, b t h d, b -> b t h d",
+    sharding_rule="b t h d, b t h d, b t h d, b, t d, t d -> b t h d",
     need_replication_factors=("t", "d"),
 )
-
-
-@jax.custom_vjp
-def flash_attention(q, k, v, mask_or_lens):
-    """q,k,v [B,T,H,D]; mask_or_lens: either lens [B] int or mask [B,T] bool.
-
-    GSPMD-partitionable: safe under any ('data','model') sharding.
-    """
-    lens = _as_lens(mask_or_lens)
-    return _forward_partitioned(q, k, v, lens)
-
-
-@jax.custom_vjp
-def flash_attention_local(q, k, v, mask_or_lens):
-    """Single-device variant: the bare Pallas call without the
-    custom_partitioning custom-call boundary (an opaque boundary can block
-    XLA fusion around the kernel on one chip, where partitioning buys
-    nothing).  Numerically identical to flash_attention; NOT safe under a
-    sharded mesh.
-    """
-    lens = _as_lens(mask_or_lens)
-    return _forward(q, k, v, lens)
 
 
 def _as_lens(mask_or_lens):
@@ -232,150 +321,187 @@ def _as_lens(mask_or_lens):
     return mask_or_lens.astype(jnp.int32)
 
 
-def _fwd(q, k, v, mask_or_lens):
-    lens = _as_lens(mask_or_lens)
-    return _forward_partitioned(q, k, v, lens), (q, k, v, lens)
+# ---------------- backward kernel (q-blocked, dK/dV accumulated) ----------
 
 
-def _fwd_local(q, k, v, mask_or_lens):
-    lens = _as_lens(mask_or_lens)
-    return _forward(q, k, v, lens), (q, k, v, lens)
-
-
-def _bwd_local(res, g):
-    q, k, v, lens = res
-    if _bwd_fits_vmem(q.shape[1], q.shape[3]):
-        dq, dk, dv = _backward_pallas(q, k, v, lens, g)
-        return dq, dk, dv, None
-    _, vjp = jax.vjp(lambda q, k, v: _attention_ref(q, k, v, lens), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
-
-
-def _bwd_kernel(len_ref, q_ref, k_ref, v_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, T: int, G: int):
-    """G (batch*head) rows per program (statically unrolled — same
-    dispatch-overhead amortization as the forward): recompute
-    P = softmax(QK^T m) in VMEM, then dV = P^T dO;
-    dS = mask * P * (dP - rowsum(P*dP)); dQ = dS K s; dK = dS^T Q s.
-    Mirrors the jnp reference VJP exactly, including the padded-row
-    convention (fully-masked rows give uniform P into dV and zero dS into
-    dQ/dK — the where() in the reference blocks that path)."""
+def _bwd_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, cosq_ref, sinq_ref,
+                cosk_ref, sink_ref, dq_ref, dk_ref, dv_ref,
+                kr_scr, dk_scr, dv_scr, *, G: int):
+    """Grid (bh, qi), qi fastest.  Per program: one [bq, T] recompute of
+    P = softmax(rope(Q) rope(K)^T, masked) for G rows; dQ written per
+    block (un-roped), dK/dV accumulated in f32 scratch across q blocks and
+    written (dK un-roped) at the last block.  Mirrors the jnp reference
+    VJP exactly, including the padded-row convention (fully-masked rows
+    give uniform P into dV and zero dS into dQ/dK — the time padding added
+    by the caller carries zero dO, so pad rows contribute nothing)."""
     D = q_ref.shape[-1]
     scale = 1.0 / (D**0.5)
+    R = _rot_mat(D)
+    nq = pl.num_programs(1)
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _():
+        for g in range(G):
+            kr_scr[g] = _rope_rows(
+                k_ref[g], cosk_ref[:], sink_ref[:], R
+            ).astype(kr_scr.dtype)
+        dk_scr[...] = jnp.zeros(dk_scr.shape, dk_scr.dtype)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, dv_scr.dtype)
+
     for g in range(G):
-        q = q_ref[g]
-        k = k_ref[g]
+        q = _rope_rows(q_ref[g], cosq_ref[:], sinq_ref[:], R).astype(
+            q_ref.dtype
+        )
+        k = kr_scr[g]
         v = v_ref[g]
         do = do_ref[g]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [T, T]
+        ) * scale  # [bq, T]
         n = len_ref[pl.program_id(0) * G + g]
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = col < n
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [T, T] f32
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [bq, T] f32
 
         dof = do.astype(jnp.float32)
-        dv = jax.lax.dot_general(  # P^T @ dO
+        dv_scr[g] += jax.lax.dot_general(  # P^T @ dO -> [T, D]
             p, dof, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dp = jax.lax.dot_general(  # dO @ V^T
+        dp = jax.lax.dot_general(  # dO @ V^T -> [bq, T]
             dof, v.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         d_row = jnp.sum(p * dp, axis=-1, keepdims=True)
         ds = jnp.where(mask, p * (dp - d_row), 0.0)
-        dq = jax.lax.dot_general(  # dS @ K
+        dq = jax.lax.dot_general(  # dS @ K~ -> [bq, D], grad wrt roped q
             ds, k.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        dk = jax.lax.dot_general(  # dS^T @ Q
+        dq_ref[g] = _unrope_rows(dq, cosq_ref[:], sinq_ref[:], R).astype(
+            dq_ref.dtype
+        )
+        dk_scr[g] += jax.lax.dot_general(  # dS^T @ Q~ -> [T, D]
             ds, q.astype(jnp.float32),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        dq_ref[g] = dq.astype(dq_ref.dtype)
-        dk_ref[g] = dk.astype(dk_ref.dtype)
-        dv_ref[g] = dv.astype(dv_ref.dtype)
+
+    @pl.when(qi == nq - 1)
+    def _():
+        for g in range(G):
+            dk_ref[g] = _unrope_rows(
+                dk_scr[g], cosk_ref[:], sink_ref[:], R
+            ).astype(dk_ref.dtype)
+            dv_ref[g] = dv_scr[g].astype(dv_ref.dtype)
 
 
-# The backward holds one T x T f32 score matrix plus (P, dS) scratch and
-# six [T, D] stripes in VMEM; stay well under the ~16 MB/core budget.
 _BWD_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _bwd_fits_vmem(T: int, D: int) -> bool:
-    return (3 * T * T + 7 * T * D) * 4 <= _BWD_VMEM_BUDGET
-
-
-def _bwd_fold_rows(BH: int, T: int, D: int, itemsize: int) -> int:
-    """Largest G <= 8 dividing B*H that keeps the seven [T, D] stripes per
-    row (double-buffered) plus the per-iteration [T, T] f32 scratch under
-    budget.  The scratch is reused across the unrolled G iterations, so it
-    counts once."""
-    for G in (8, 6, 4, 3, 2):
+def _bwd_plan(BH: int, T_pad: int, D: int, itemsize: int):
+    """Choose (G, bq) for the backward: maximize G*bq (fewest programs,
+    each dispatch ~12 us) subject to the VMEM budget.  All [bq, T] f32
+    intermediates (p, dp, ds live together) are charged per unrolled row."""
+    best = None
+    for G in (8, 6, 4, 3, 2, 1):
         if BH % G:
             continue
-        stripes = 7 * T * D * G * itemsize * 2
-        if stripes + 3 * T * T * 4 <= _BWD_VMEM_BUDGET:
-            return G
-    return 1
+        for bq in (1024, 512, 256, 128):
+            bq = min(bq, T_pad)
+            blocks = (2 * bq * D + 2 * T_pad * D) * G * itemsize * 2
+            scr = G * T_pad * D * (itemsize + 8)  # roped K + f32 dK/dV acc
+            inter = G * 3 * bq * T_pad * 4
+            tables = (2 * bq * D + 2 * T_pad * D) * 4 * 2
+            if blocks + scr + inter + tables <= _BWD_VMEM_BUDGET:
+                if best is None or G * bq > best[0] * best[1]:
+                    best = (G, bq)
+                break  # smaller bq only lowers the score for this G
+    return best if best is not None else (1, 128)
 
 
-def _backward_pallas(q, k, v, lens, g, interpret: bool | None = None):
+def _backward_pallas(q, k, v, lens, cos, sin, g, interpret: bool | None = None):
     B, T, H, D = q.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    qf = q.transpose(0, 2, 1, 3).reshape(B * H, T, D)
-    kf = k.transpose(0, 2, 1, 3).reshape(B * H, T, D)
-    vf = v.transpose(0, 2, 1, 3).reshape(B * H, T, D)
-    gf = g.transpose(0, 2, 1, 3).reshape(B * H, T, D)
+    G, bq = _bwd_plan(B * H, T, D, q.dtype.itemsize)
+    T_pad = -(-T // bq) * bq
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
+    padt = lambda t: jnp.pad(t, ((0, T_pad - T), (0, 0)))
+    if T_pad != T:
+        # Zero padding keeps the accumulated dK/dV exact: padded q rows get
+        # dO = 0, so their (uniform-P) contributions vanish.
+        q, k, v, g = pad(q), pad(k), pad(v), pad(g)
+        cos, sin = padt(cos), padt(sin)
+    qf = q.transpose(0, 2, 1, 3).reshape(B * H, T_pad, D)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * H, T_pad, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * H, T_pad, D)
+    gf = g.transpose(0, 2, 1, 3).reshape(B * H, T_pad, D)
     lens_bh = jnp.repeat(lens.astype(jnp.int32), H)
-    G = _bwd_fold_rows(B * H, T, D, q.dtype.itemsize)
-    spec = pl.BlockSpec(
-        (G, T, D), lambda bh, lens: (bh, 0, 0), memory_space=pltpu.VMEM
+
+    blk = lambda: pl.BlockSpec(
+        (G, bq, D), lambda bh, qi, lens: (bh, qi, 0), memory_space=pltpu.VMEM
+    )
+    stripe = lambda: pl.BlockSpec(
+        (G, T_pad, D), lambda bh, qi, lens: (bh, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tab_q = lambda: pl.BlockSpec(
+        (bq, D), lambda bh, qi, lens: (qi, 0), memory_space=pltpu.VMEM
+    )
+    tab_k = lambda: pl.BlockSpec(
+        (T_pad, D), lambda bh, qi, lens: (0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * H // G,),
-        in_specs=[spec] * 4,
-        out_specs=[spec] * 3,
+        grid=(B * H // G, T_pad // bq),
+        in_specs=[blk(), stripe(), stripe(), blk(),
+                  tab_q(), tab_q(), tab_k(), tab_k()],
+        out_specs=[blk(), stripe(), stripe()],
+        scratch_shapes=[
+            pltpu.VMEM((G, T_pad, D), q.dtype),  # roped K
+            pltpu.VMEM((G, T_pad, D), jnp.float32),  # dK accumulator
+            pltpu.VMEM((G, T_pad, D), jnp.float32),  # dV accumulator
+        ],
     )
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, T=T, G=G),
+        functools.partial(_bwd_kernel, G=G),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B * H, T, D), q.dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B * H, T_pad, D), q.dtype)] * 3,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=10 * B * H * T * T * D,
-            bytes_accessed=4 * 7 * B * T * H * D,
-            transcendentals=B * H * T * T,
+            flops=10 * B * H * T_pad * T_pad * D,
+            bytes_accessed=4 * 7 * B * T_pad * H * D,
+            transcendentals=B * H * T_pad * T_pad,
         ),
-    )(lens_bh, qf, kf, vf, gf)
-    unflat = lambda x: x.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    )(lens_bh, qf, kf, vf, gf, cos, sin, cos, sin)
+    unflat = lambda x: (
+        x.reshape(B, H, T_pad, D).transpose(0, 2, 1, 3)[:, :T]
+    )
     return unflat(dq), unflat(dk), unflat(dv)
 
 
 @custom_partitioning
-def _backward_partitioned(q, k, v, lens, g):
-    return _backward_pallas(q, k, v, lens, g)
+def _backward_partitioned(q, k, v, lens, cos, sin, g):
+    return _backward_pallas(q, k, v, lens, cos, sin, g)
 
 
 def _bwd_partition(mesh, arg_shapes, result_shape):
-    qkv, lens = _attn_specs(mesh, arg_shapes)
+    qkv, lens, tabs = _attn_specs(mesh, arg_shapes)
 
-    def lower_fn(q, k, v, l, g):
-        return _backward_pallas(q, k, v, l, g)
+    def lower_fn(q, k, v, l, cos, sin, g):
+        return _backward_pallas(q, k, v, l, cos, sin, g)
 
-    return mesh, lower_fn, (qkv, qkv, qkv), (qkv, qkv, qkv, lens, qkv)
+    return mesh, lower_fn, (qkv, qkv, qkv), (
+        qkv, qkv, qkv, lens, tabs, tabs, qkv
+    )
 
 
 _backward_partitioned.def_partition(
@@ -384,24 +510,74 @@ _backward_partitioned.def_partition(
         lambda s: (s, s, s)
     )(_attn_specs(mesh, arg_shapes)[0]),
     sharding_rule=(
-        "b t h d, b t h d, b t h d, b, b t h d -> b t h d, b t h d, b t h d"
+        "b t h d, b t h d, b t h d, b, t d, t d, b t h d"
+        " -> b t h d, b t h d, b t h d"
     ),
     need_replication_factors=("t", "d"),
 )
 
 
+# ---------------- public custom-vjp surfaces ----------------
+
+
+@jax.custom_vjp
+def flash_attention_rope(q, k, v, mask_or_lens, cos, sin):
+    """Fused rope+attention.  q,k,v [B,T,H,D]; mask_or_lens: lens [B] int or
+    mask [B,T] bool; cos/sin [T, D] f32 tables (rope_tables / identity).
+
+    GSPMD-partitionable: safe under any ('data','model') sharding.
+    """
+    lens = _as_lens(mask_or_lens)
+    return _forward_partitioned(q, k, v, lens, cos, sin)
+
+
+@jax.custom_vjp
+def flash_attention_local_rope(q, k, v, mask_or_lens, cos, sin):
+    """Single-device variant: the bare Pallas call without the
+    custom_partitioning custom-call boundary (an opaque boundary can block
+    XLA fusion around the kernel on one chip, where partitioning buys
+    nothing).  Numerically identical to flash_attention_rope; NOT safe
+    under a sharded mesh."""
+    lens = _as_lens(mask_or_lens)
+    return _forward(q, k, v, lens, cos, sin)
+
+
+def _fwd(q, k, v, mask_or_lens, cos, sin):
+    lens = _as_lens(mask_or_lens)
+    return (
+        _forward_partitioned(q, k, v, lens, cos, sin),
+        (q, k, v, lens, cos, sin),
+    )
+
+
+def _fwd_local(q, k, v, mask_or_lens, cos, sin):
+    lens = _as_lens(mask_or_lens)
+    return _forward(q, k, v, lens, cos, sin), (q, k, v, lens, cos, sin)
+
+
 def _bwd(res, g):
-    q, k, v, lens = res
-    B, T, H, D = q.shape
-    if _bwd_fits_vmem(T, D):
-        dq, dk, dv = _backward_partitioned(q, k, v, lens, g)
-        return dq, dk, dv, None
-    # Fallback: rematerialized backward through the jnp reference (same
-    # math, but the T^2 attention matrix round-trips HBM).
-    _, vjp = jax.vjp(lambda q, k, v: _attention_ref(q, k, v, lens), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    q, k, v, lens, cos, sin = res
+    dq, dk, dv = _backward_partitioned(q, k, v, lens, cos, sin, g)
+    return dq, dk, dv, None, None, None
 
 
-flash_attention.defvjp(_fwd, _bwd)
-flash_attention_local.defvjp(_fwd_local, _bwd_local)
+def _bwd_local(res, g):
+    q, k, v, lens, cos, sin = res
+    dq, dk, dv = _backward_pallas(q, k, v, lens, cos, sin, g)
+    return dq, dk, dv, None, None, None
+
+
+flash_attention_rope.defvjp(_fwd, _bwd)
+flash_attention_local_rope.defvjp(_fwd_local, _bwd_local)
+
+
+def flash_attention(q, k, v, mask_or_lens):
+    """No-rope attention (identity tables); kept for parity tests and
+    non-rope callers.  See flash_attention_rope."""
+    cos, sin = identity_tables(q.shape[1], q.shape[3])
+    return flash_attention_rope(q, k, v, mask_or_lens, cos, sin)
+
+
+def flash_attention_local(q, k, v, mask_or_lens):
+    cos, sin = identity_tables(q.shape[1], q.shape[3])
+    return flash_attention_local_rope(q, k, v, mask_or_lens, cos, sin)

@@ -187,6 +187,310 @@ def ctc_alpha_forward(
     return ll[:, 0], alphas[:T]
 
 
+# ---------------- zero-dispatch streaming kernels (round 4) ----------------
+#
+# The grid kernels above still pay one grid-program dispatch (~11 us on
+# v5e) per frame: at T=240 that is ~2.6 ms — the entire measured cost of
+# the stage, with all three r3 impls within ~2 % of each other
+# (VERDICT r3 item 5).  These variants run the WHOLE recursion as ONE
+# program (grid-free pallas_call): a lax.fori_loop walks chunk PAIRS of
+# Kb frames, the [Kb, B, V] log-prob chunks stream HBM->VMEM through
+# double-buffered async copies, the [Kb, B, S] alpha chunks stream back
+# out the same way, and the lattice carry lives in VMEM scratch.  Chunks
+# are processed in pairs so every buffer index is STATIC (slot = chunk
+# parity) — no dynamic scratch indexing for Mosaic to reject.  Pipeline:
+# after computing chunk c, the same slot's next occupant (c+2) starts
+# loading, so chunk c+1 (other slot) always computes over an in-flight
+# copy.
+
+_STREAM_KB = 8  # frames per DMA chunk ([Kb,B,V] ~ 64 KB at batch 64)
+
+
+def _alpha_stream_kernel(
+    lp_hbm, ext_ref, skip_ref, valid_ref, lens_ref, llen_ref,
+    ll_ref, alphas_hbm, lp_buf, al_buf, alpha_scr, in_sem, out_sem,
+    *, V, Kb, nb, T,
+):
+    ext = ext_ref[:]
+    skip = skip_ref[:] > 0.5
+    valid = valid_ref[:] > 0.5
+    lens = lens_ref[:]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 1)
+    nb2 = nb // 2
+
+    def in_dma(slot, c):
+        return pltpu.make_async_copy(
+            lp_hbm.at[c], lp_buf.at[slot], in_sem.at[slot]
+        )
+
+    def out_dma(slot, c):
+        return pltpu.make_async_copy(
+            al_buf.at[slot], alphas_hbm.at[c], out_sem.at[slot]
+        )
+
+    in_dma(0, 0).start()
+    in_dma(1, 1).start()
+    # Virtual pre-start carry: log(1) at s=0.  One uniform recurrence step
+    # turns this into the textbook alpha_0 (matches the grid kernel).
+    alpha_scr[:] = jnp.where(s_idx == 0, 0.0, NEG_INF)
+
+    def process(slot, c, j2):
+        in_dma(slot, c).wait()
+
+        @pl.when(j2 >= 1)
+        def _():
+            out_dma(slot, c - 2).wait()  # slot's previous write-out
+
+        for i in range(Kb):
+            t = c * Kb + i
+            alpha = alpha_scr[:]
+            em = _emission(lp_buf[slot, i], ext, V)
+            a1 = _shift_right(alpha, 1, NEG_INF)
+            a2 = jnp.where(skip, _shift_right(alpha, 2, NEG_INF), NEG_INF)
+            new = _lse3(alpha, a1, a2) + em
+            new = jnp.where(valid, new, NEG_INF)
+            active = jnp.logical_or(
+                jnp.logical_and(t < lens, t < T), t == 0
+            )
+            alpha_scr[:] = jnp.where(active, new, alpha)
+            al_buf[slot, i] = alpha_scr[:]
+        out_dma(slot, c).start()
+
+        @pl.when(c + 2 < nb)
+        def _():
+            in_dma(slot, c + 2).start()
+
+    def body(j2, carry):
+        process(0, 2 * j2, j2)
+        process(1, 2 * j2 + 1, j2)
+        return carry
+
+    jax.lax.fori_loop(0, nb2, body, 0)
+    out_dma(0, nb - 2).wait()
+    out_dma(1, nb - 1).wait()
+
+    alpha = alpha_scr[:]
+    last = 2 * llen_ref[:]
+    has_label = llen_ref[:] > 0
+    a_last = jnp.max(
+        jnp.where(s_idx == last, alpha, NEG_INF), axis=1, keepdims=True
+    )
+    a_prev = jnp.max(
+        jnp.where((s_idx == last - 1) & has_label, alpha, NEG_INF),
+        axis=1, keepdims=True,
+    )
+    m = jnp.maximum(a_last, a_prev)
+    ll_ref[:] = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
+
+
+def ctc_alpha_forward_stream(
+    lp, ext, allow_skip, state_valid, input_lens, label_lens,
+    chunk: int = _STREAM_KB,
+):
+    """Zero-dispatch alpha recursion: lp [T,B,V] -> (ll [B], alphas [T,B,S]).
+    Same numbers as ctc_alpha_forward; one Pallas program total."""
+    T, B, V = lp.shape
+    S = ext.shape[1]
+    Kb = chunk
+    T_pad = -(-T // (2 * Kb)) * (2 * Kb)  # chunk pairs -> nb even, >= 2
+    lp_p = jnp.pad(lp, ((0, T_pad - T), (0, 0), (0, 0)))
+    nb = T_pad // Kb
+    interpret = jax.default_backend() != "tpu"
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    ll, alphas = pl.pallas_call(
+        functools.partial(
+            _alpha_stream_kernel, V=V, Kb=Kb, nb=nb, T=T
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # lp chunks stay in HBM
+            vmem(), vmem(), vmem(), vmem(), vmem(),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, Kb, B, S), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Kb, B, V), jnp.float32),
+            pltpu.VMEM((2, Kb, B, S), jnp.float32),
+            pltpu.VMEM((B, S), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=T_pad * B * S * (V + 12),
+            bytes_accessed=4 * (T_pad * B * V + T_pad * B * S),
+            transcendentals=4 * T_pad * B * S,
+        ),
+    )(
+        lp_p.reshape(nb, Kb, B, V),
+        ext.astype(jnp.int32),
+        allow_skip.astype(jnp.float32),
+        state_valid.astype(jnp.float32),
+        input_lens.astype(jnp.int32)[:, None],
+        label_lens.astype(jnp.int32)[:, None],
+    )
+    return ll[:, 0], alphas.reshape(T_pad, B, S)[:T]
+
+
+def _beta_stream_kernel(
+    lp_hbm, al_hbm, ext_ref, skipout_ref, valid_ref, lens_ref, llen_ref,
+    ll_in_ref, occ_hbm, lp_buf, ain_buf, occ_buf, lphead_scr, beta_scr,
+    lp_sem, al_sem, occ_sem, *, V, Kb, nb, T,
+):
+    ext = ext_ref[:]
+    skip_out = skipout_ref[:] > 0.5
+    valid = valid_ref[:] > 0.5
+    lens = lens_ref[:]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 1)
+    last = 2 * llen_ref[:]
+    fin = jnp.where(
+        (s_idx == last) | ((s_idx == last - 1) & (llen_ref[:] > 0)),
+        0.0,
+        NEG_INF,
+    )
+    ll = ll_in_ref[:]
+    feasible = ll > NEG_INF / 2
+    v_idx = jax.lax.broadcasted_iota(jnp.int32, (ext.shape[0], V), 1)
+    nb2 = nb // 2
+
+    def lp_dma(slot, c):
+        return pltpu.make_async_copy(
+            lp_hbm.at[c], lp_buf.at[slot], lp_sem.at[slot]
+        )
+
+    def al_dma(slot, c):
+        return pltpu.make_async_copy(
+            al_hbm.at[c], ain_buf.at[slot], al_sem.at[slot]
+        )
+
+    def occ_dma(slot, c):
+        return pltpu.make_async_copy(
+            occ_buf.at[slot], occ_hbm.at[c], occ_sem.at[slot]
+        )
+
+    # Chunk order nb-1, nb-2, ..., 0; slot = chunk parity (nb even:
+    # first processed chunk nb-1 is odd -> slot 1).
+    lp_dma(1, nb - 1).start()
+    al_dma(1, nb - 1).start()
+    lp_dma(0, nb - 2).start()
+    al_dma(0, nb - 2).start()
+    # lphead_scr holds lp[c*Kb] of the previously processed (higher)
+    # chunk — the one-frame lookahead across the chunk boundary.  Garbage
+    # at the first processed chunk, where every row's t >= len-1 clamps to
+    # fin (t = T_pad-1 >= len-1 for all rows).
+    lphead_scr[:] = jnp.zeros(lphead_scr.shape, lphead_scr.dtype)
+    beta_scr[:] = jnp.full(ext.shape, NEG_INF)  # beta carry
+
+    def process(slot, c, j2):
+        lp_dma(slot, c).wait()
+        al_dma(slot, c).wait()
+
+        @pl.when(j2 >= 1)
+        def _():
+            occ_dma(slot, c + 2).wait()
+
+        for i in range(Kb - 1, -1, -1):
+            t = c * Kb + i
+            lp_next = lphead_scr[:] if i == Kb - 1 else lp_buf[slot, i + 1]
+            em_next = _emission(lp_next, ext, V)
+            x0 = beta_scr[:] + em_next
+            x1 = _shift_left(x0, 1, NEG_INF)
+            x2 = jnp.where(skip_out, _shift_left(x0, 2, NEG_INF), NEG_INF)
+            new = _lse3(x0, x1, x2)
+            new = jnp.where(valid, new, NEG_INF)
+            at_or_past_end = t >= lens - 1
+            beta = jnp.where(at_or_past_end, fin, new)
+            beta_scr[:] = beta
+
+            gamma = ain_buf[slot, i] + beta
+            w = jnp.where(feasible, jnp.exp(gamma - ll), 0.0)
+            w = jnp.where(t < lens, w, 0.0)
+            occ = jnp.zeros(v_idx.shape, jnp.float32)
+            for v in range(V):
+                contrib = jnp.sum(
+                    jnp.where(ext == v, w, 0.0), axis=1, keepdims=True
+                )
+                occ = occ + jnp.where(v_idx == v, contrib, 0.0)
+            occ_buf[slot, i] = occ
+        lphead_scr[:] = lp_buf[slot, 0]
+        occ_dma(slot, c).start()
+
+        @pl.when(c - 2 >= 0)
+        def _():
+            lp_dma(slot, c - 2).start()
+            al_dma(slot, c - 2).start()
+
+    def body(j2, carry):
+        process(1, nb - 1 - 2 * j2, j2)
+        process(0, nb - 2 - 2 * j2, j2)
+        return carry
+
+    jax.lax.fori_loop(0, nb2, body, 0)
+    occ_dma(1, 1).wait()
+    occ_dma(0, 0).wait()
+
+
+def ctc_beta_occupancy_stream(
+    lp, alphas, ext, allow_skip, state_valid, input_lens, label_lens, ll,
+    chunk: int = _STREAM_KB,
+):
+    """Zero-dispatch reverse recursion with fused occupancy: occ [T,B,V].
+    Same numbers as ctc_beta_occupancy; one Pallas program total."""
+    T, B, V = lp.shape
+    S = ext.shape[1]
+    Kb = chunk
+    T_pad = -(-T // (2 * Kb)) * (2 * Kb)
+    lp_p = jnp.pad(lp, ((0, T_pad - T), (0, 0), (0, 0)))
+    alphas_p = jnp.pad(alphas, ((0, T_pad - T), (0, 0), (0, 0)))
+    nb = T_pad // Kb
+    skip_out = jnp.concatenate(
+        [allow_skip[:, 2:], jnp.zeros((B, 2), allow_skip.dtype)], axis=1
+    )
+    interpret = jax.default_backend() != "tpu"
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        functools.partial(_beta_stream_kernel, V=V, Kb=Kb, nb=nb, T=T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # lp chunks
+            pl.BlockSpec(memory_space=pl.ANY),  # alpha chunks
+            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb, Kb, B, V), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, Kb, B, V), jnp.float32),
+            pltpu.VMEM((2, Kb, B, S), jnp.float32),
+            pltpu.VMEM((2, Kb, B, V), jnp.float32),
+            pltpu.VMEM((B, V), jnp.float32),
+            pltpu.VMEM((B, S), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T_pad * B * S * (V + 12),
+            bytes_accessed=4 * (2 * T_pad * B * V + T_pad * B * S),
+            transcendentals=5 * T_pad * B * S,
+        ),
+    )(
+        lp_p.reshape(nb, Kb, B, V),
+        alphas_p.reshape(nb, Kb, B, S),
+        ext.astype(jnp.int32),
+        skip_out.astype(jnp.float32),
+        state_valid.astype(jnp.float32),
+        input_lens.astype(jnp.int32)[:, None],
+        label_lens.astype(jnp.int32)[:, None],
+        ll.astype(jnp.float32)[:, None],
+    )
+    return occ.reshape(T_pad, B, V)[:T]
+
+
 def _beta_occ_kernel(
     lp_ref, lp_top_ref, alphas_ref, ext_ref, skipout_ref, valid_ref,
     lens_ref, llen_ref, ll_ref, occ_ref, beta_scr, *, V, K, T,

@@ -5,7 +5,17 @@ import jax
 import jax.numpy as jnp
 
 from neuralasr_tpu.models.encoder import CTCModel, ModelConfig
-from neuralasr_tpu.ops.pallas_attention import flash_attention, _attention_ref
+from neuralasr_tpu.ops.pallas_attention import (
+    _attention_ref as _attention_ref_tab,
+    flash_attention,
+    identity_tables,
+)
+
+
+def _attention_ref(q, k, v, lens):
+    return _attention_ref_tab(
+        q, k, v, lens, *identity_tables(q.shape[1], q.shape[3])
+    )
 
 
 def test_pallas_attention_matches_reference():

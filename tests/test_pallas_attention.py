@@ -1,5 +1,10 @@
 """Pallas fused attention: forward/backward parity vs the jnp reference and
 GSPMD partitioning (interpret mode on CPU; the same kernels compile on TPU).
+
+Round 4: rope is fused in-kernel (applied to Q/K from [T, D] tables, with
+the inverse rotation applied to dQ/dK in the backward) and the backward is
+q-blocked with dK/dV accumulated across grid steps — both conventions are
+pinned here against the jnp reference.
 """
 
 import numpy as np
@@ -9,8 +14,12 @@ import jax.numpy as jnp
 
 from neuralasr_tpu.ops.pallas_attention import (
     _attention_ref,
-    _bwd_fits_vmem,
+    _bwd_plan,
+    apply_rope,
     flash_attention,
+    flash_attention_rope,
+    identity_tables,
+    rope_tables,
 )
 
 
@@ -24,10 +33,27 @@ def _inputs(B=4, T=48, H=4, D=32, dtype=np.float32, seed=0):
     return q, k, v, g, lens
 
 
+def _ref(q, k, v, lens):
+    cos, sin = identity_tables(q.shape[1], q.shape[3])
+    return _attention_ref(q, k, v, lens, cos, sin)
+
+
 def test_forward_matches_reference():
     q, k, v, _, lens = _inputs()
     out = flash_attention(q, k, v, lens)
-    want = _attention_ref(q, k, v, lens)
+    want = _ref(q, k, v, lens)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_forward_rope_matches_reference():
+    """In-kernel rope (x @ R rotation-matmul formulation) must equal the
+    XLA-side apply_rope (concat formulation) fed through the reference."""
+    q, k, v, _, lens = _inputs(B=2, T=40, H=2, D=16)
+    cos, sin = rope_tables(40, 16)
+    out = flash_attention_rope(q, k, v, lens, cos, sin)
+    want = _attention_ref(q, k, v, lens, cos, sin)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5
     )
@@ -38,7 +64,7 @@ def test_backward_matches_reference_vjp():
     including padded-row conventions (len=1 rows, poisoned cotangents)."""
     q, k, v, g, _ = _inputs()
     lens = jnp.asarray([48, 13, 1, 30], jnp.int32)
-    _, vjp_ref = jax.vjp(lambda a, b, c: _attention_ref(a, b, c, lens), q, k, v)
+    _, vjp_ref = jax.vjp(lambda a, b, c: _ref(a, b, c, lens), q, k, v)
     want = vjp_ref(g)
     _, vjp_p = jax.vjp(lambda a, b, c: flash_attention(a, b, c, lens), q, k, v)
     got = vjp_p(g)
@@ -48,32 +74,61 @@ def test_backward_matches_reference_vjp():
         )
 
 
-def test_backward_vmem_fallback_path():
-    """Shapes past the VMEM budget take the jnp-remat fallback; gradients
-    must agree with the reference either way."""
-    assert _bwd_fits_vmem(768, 64)
-    assert not _bwd_fits_vmem(4096, 64)
-    # Force tiny budget semantics by checking the fallback directly.
-    q, k, v, g, lens = _inputs(B=2, T=16, H=2, D=8)
-    from neuralasr_tpu.ops import pallas_attention as pa
-
-    orig = pa._BWD_VMEM_BUDGET
-    try:
-        pa._BWD_VMEM_BUDGET = 0  # everything falls back
-        _, vjp = jax.vjp(
-            lambda a, b, c: flash_attention(a, b, c, lens), q, k, v
-        )
-        got = vjp(g)
-    finally:
-        pa._BWD_VMEM_BUDGET = orig
+def test_backward_rope_matches_reference_vjp():
+    q, k, v, g, _ = _inputs(B=2, T=32, H=2, D=16, seed=3)
+    lens = jnp.asarray([32, 11], jnp.int32)
+    cos, sin = rope_tables(32, 16)
     _, vjp_ref = jax.vjp(
-        lambda a, b, c: _attention_ref(a, b, c, lens), q, k, v
+        lambda a, b, c: _attention_ref(a, b, c, lens, cos, sin), q, k, v
     )
     want = vjp_ref(g)
-    for a, b in zip(got, want):
+    _, vjp_p = jax.vjp(
+        lambda a, b, c: flash_attention_rope(a, b, c, lens, cos, sin), q, k, v
+    )
+    got = vjp_p(g)
+    for name, a, b in zip(("dq", "dk", "dv"), got, want):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=name
         )
+
+
+def test_backward_qblocked_accumulation():
+    """Force multiple q blocks (T not a block multiple, so the time padding
+    path runs too): dK/dV accumulated across grid steps must still match."""
+    from neuralasr_tpu.ops import pallas_attention as pa
+
+    q, k, v, g, _ = _inputs(B=2, T=72, H=2, D=16, seed=5)
+    lens = jnp.asarray([61, 29], jnp.int32)
+    cos, sin = rope_tables(72, 16)
+    orig = pa._bwd_plan
+    try:
+        pa._bwd_plan = lambda BH, T, D, it: (2, 32)  # 72 -> 3 blocks + pad
+        _, vjp_p = jax.vjp(
+            lambda a, b, c: flash_attention_rope(a, b, c, lens, cos, sin),
+            q, k, v,
+        )
+        got = vjp_p(g)
+    finally:
+        pa._bwd_plan = orig
+    _, vjp_ref = jax.vjp(
+        lambda a, b, c: _attention_ref(a, b, c, lens, cos, sin), q, k, v
+    )
+    want = vjp_ref(g)
+    for name, a, b in zip(("dq", "dk", "dv"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=name
+        )
+
+
+def test_bwd_plan_fits_all_asr_lengths():
+    """The q-blocked backward replaces round 3's T>~900 XLA-remat cliff:
+    the plan must return a budget-fitting (G, bq) at every ASR-reachable T."""
+    for T in (240, 480, 960, 1920, 3072):
+        G, bq = _bwd_plan(384, T, 64, 2)
+        assert G >= 1 and bq >= 128, (T, G, bq)
+    # Long T trades G for block count but never falls off the kernel.
+    G, bq = _bwd_plan(48, 1920, 64, 2)
+    assert G * bq >= 256, (G, bq)
 
 
 def test_bfloat16_grads_finite_and_close():
@@ -81,9 +136,7 @@ def test_bfloat16_grads_finite_and_close():
     qb, kb, vb, gb = (x.astype(jnp.bfloat16) for x in (q, k, v, g))
     _, vjp = jax.vjp(lambda a, b, c: flash_attention(a, b, c, lens), qb, kb, vb)
     got = vjp(gb)
-    _, vjp_ref = jax.vjp(
-        lambda a, b, c: _attention_ref(a, b, c, lens), q, k, v
-    )
+    _, vjp_ref = jax.vjp(lambda a, b, c: _ref(a, b, c, lens), q, k, v)
     want = vjp_ref(g)
     for a, b in zip(got, want):
         a = np.asarray(a, dtype=np.float32)
@@ -102,6 +155,23 @@ def test_mask_input_form():
     )
 
 
+def test_apply_rope_matches_legacy_formulation():
+    """Table-based rope == the round-3 in-place formulation."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 24, 3, 16)).astype(np.float32))
+    cos, sin = rope_tables(24, 16)
+    got = apply_rope(x, cos, sin)
+    half = 8
+    freqs = 10000.0 ** (-np.arange(0, half, dtype=np.float32) / half)
+    ang = np.arange(24, dtype=np.float32)[:, None] * freqs[None, :]
+    c = np.cos(ang)[None, :, None, :]
+    s = np.sin(ang)[None, :, None, :]
+    xn = np.asarray(x)
+    x1, x2 = xn[..., :half], xn[..., half:]
+    want = np.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
 # Sharded fwd/bwd parity on an 8-device mesh lives in
 # tests/distributed_checks.py (subprocess with fake devices).
 
@@ -112,7 +182,7 @@ def test_padded_query_rows_convention():
     q, k, v, g, _ = _inputs(B=1, T=8, H=1, D=4)
     lens = jnp.asarray([0], jnp.int32)
     out = flash_attention(q, k, v, lens)
-    want = _attention_ref(q, k, v, lens)
+    want = _ref(q, k, v, lens)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5
     )

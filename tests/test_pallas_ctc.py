@@ -38,8 +38,9 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("impl", ["pallas", "pallas_stream"])
 @pytest.mark.parametrize("case", CASES)
-def test_pallas_matches_scan_loss_and_grad(case):
+def test_pallas_matches_scan_loss_and_grad(case, impl):
     logits, labels, il, ll = case
 
     def loss_sum(impl):
@@ -50,7 +51,7 @@ def test_pallas_matches_scan_loss_and_grad(case):
         return f
 
     a = ctc_loss(logits, labels, il, ll, impl="scan")
-    b = ctc_loss(logits, labels, il, ll, impl="pallas")
+    b = ctc_loss(logits, labels, il, ll, impl=impl)
     feasible = np.asarray(a) < 1e29
     np.testing.assert_allclose(
         np.asarray(a)[feasible], np.asarray(b)[feasible],
@@ -60,18 +61,19 @@ def test_pallas_matches_scan_loss_and_grad(case):
     assert np.all(np.asarray(b)[~feasible] > 1e29)
 
     ga = jax.grad(loss_sum("scan"))(logits)
-    gb = jax.grad(loss_sum("pallas"))(logits)
+    gb = jax.grad(loss_sum(impl))(logits)
     np.testing.assert_allclose(
         np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5
     )
 
 
-def test_pallas_inside_jit_value_and_grad():
+@pytest.mark.parametrize("impl", ["pallas", "pallas_stream"])
+def test_pallas_inside_jit_value_and_grad(impl):
     logits, labels, il, ll = CASES[0]
 
     @jax.jit
     def f(lg):
-        per = ctc_loss(lg, labels, il, ll, impl="pallas")
+        per = ctc_loss(lg, labels, il, ll, impl=impl)
         return jnp.where(per > 1e29, 0.0, per).mean()
 
     v, g = jax.value_and_grad(f)(logits)
