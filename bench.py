@@ -523,7 +523,12 @@ def main() -> None:
     }
     if args.model != "bilstm4x512":
         out["pallas_attention"] = bool(use_pallas_attn)
-        out["attn_min_t"] = cfg.model.pallas_attn_min_t
+        # None when the kernel is forced off: the threshold is then not part
+        # of the compiled program, and recording it would make rows
+        # irreproducible from the flags (ADVICE r3).
+        out["attn_min_t"] = (
+            cfg.model.pallas_attn_min_t if use_pallas_attn else None
+        )
     if breakdown:
         out["breakdown"] = breakdown
     print(json.dumps(out))

@@ -43,6 +43,9 @@ def main() -> None:
                         "(preset eval_noise_level; train noise is 0.05)")
     p.add_argument("--eval-shift", type=float, default=None, metavar="HZ",
                    help="override the eval split's formant shift in Hz")
+    p.add_argument("--eval-seed-offset", type=int, default=0,
+                   help="offset the eval corpus seed (disjoint-seed re-eval "
+                        "to separate drift from protocol variance)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
@@ -85,7 +88,12 @@ def main() -> None:
     trainer.state = state
     step = meta["step"]
 
-    eval_corpus = make_corpus(cfg, eval_split=True)
+    eval_cfg = (
+        dataclasses.replace(cfg, seed=cfg.seed + args.eval_seed_offset)
+        if args.eval_seed_offset
+        else cfg
+    )
+    eval_corpus = make_corpus(eval_cfg, eval_split=True)
     beam_width = args.beam if args.beam is not None else cfg.beam_width
     if args.greedy_only:
         beam_width = 0
@@ -118,6 +126,7 @@ def main() -> None:
         "step": int(step),
         "eval_noise": cfg.eval_noise_level,
         "eval_shift_hz": cfg.eval_formant_shift_hz,
+        "eval_seed_offset": args.eval_seed_offset,
         **res.to_dict(),
     }
     if res.beam_wer is not None:

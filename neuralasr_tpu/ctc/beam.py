@@ -184,6 +184,109 @@ def _beam_step(
     return new_state, None
 
 
+def _beam_step_pruned(
+    state, inputs, *, W, K, Lmax, blank_id, merge_impl
+):
+    """Per-frame top-K column pre-prune (VERDICT r3 item 8): extension
+    candidates are restricted to the frame's K best characters, shrinking
+    the per-frame work from W*(V+1) candidates + a [W, V, W] merge tensor
+    to W*(K+1) + [W, K, W].
+
+    EXACT for lm_fn=None at K >= W+2: extension scores are base + lp[c]
+    with base in {total, p_b <= total}, so for any extension whose char is
+    outside the frame's top-(W+1) non-blank columns, at least W same-source
+    extensions with higher lp (at most one of which swaps total for p_b)
+    weakly outrank it — it cannot enter the top-W.  Merge mass is computed
+    EXACTLY from the [W, W] column tensor (an extension equal to beam tgt
+    necessarily ends in last[tgt]), so dropped columns lose no probability.
+    """
+    prefixes, lens, p_b, p_nb, hashes, active = state
+    lp, top_ids = inputs  # [V] frame log-probs, [K] top char ids
+
+    total = _lse(p_b, p_nb)  # [W]
+    last = jnp.take_along_axis(
+        prefixes, jnp.maximum(lens - 1, 0)[:, None], axis=1
+    )[:, 0]  # [W]
+    has_len = lens > 0
+
+    stay_pb = total + lp[blank_id]
+    stay_pnb = jnp.where(has_len, p_nb + lp[last], NEG_INF)
+
+    # ---- extend candidates over the frame's top-K columns, [W, K] ----
+    lpk = lp[top_ids]  # [K]
+    is_last = top_ids[None, :] == last[:, None]  # [W, K]
+    base = jnp.where(is_last & has_len[:, None], p_b[:, None], total[:, None])
+    ext_pnb = base + lpk[None, :]
+    ext_pnb = jnp.where(top_ids[None, :] == blank_id, NEG_INF, ext_pnb)
+    ext_pnb = jnp.where(lens[:, None] >= Lmax, NEG_INF, ext_pnb)
+
+    ids_u = top_ids.astype(jnp.uint32)
+    ext_h1 = hashes[:, 0:1] * _P1 + (ids_u[None, :] + 1)  # [W, K]
+    ext_h2 = hashes[:, 1:2] * _P2 + (ids_u[None, :] + 1)
+
+    # ---- EXACT merge from the [W_src, W_tgt] column tensor ----
+    last_u = last.astype(jnp.uint32)
+    col_is_last = last[None, :] == last[:, None]  # [src, tgt]
+    col_base = jnp.where(
+        col_is_last & has_len[:, None], p_b[:, None], total[:, None]
+    )
+    col_pnb = col_base + lp[last][None, :]
+    col_pnb = jnp.where(last[None, :] == blank_id, NEG_INF, col_pnb)
+    col_pnb = jnp.where(lens[:, None] >= Lmax, NEG_INF, col_pnb)
+    match2 = (
+        (hashes[:, 0:1] * _P1 + last_u[None, :] + 1 == hashes[None, :, 0])
+        & (hashes[:, 1:2] * _P2 + last_u[None, :] + 1 == hashes[None, :, 1])
+        & (col_pnb > NEG_INF / 2)
+    )  # [src, tgt]
+    merged_in = _masked_lse_reduce(col_pnb, match2, axis=0)  # [W_tgt]
+    stay_pnb = _lse(stay_pnb, merged_in)
+
+    killed = (
+        (ext_h1[:, :, None] == hashes[None, None, :, 0])
+        & (ext_h2[:, :, None] == hashes[None, None, :, 1])
+        & (ext_pnb[:, :, None] > NEG_INF / 2)
+    ).any(axis=2)  # [W, K]
+    ext_pnb = jnp.where(killed, NEG_INF, ext_pnb)
+
+    # ---- top-k over W stay + W*K extend candidates ----
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((W * K,), NEG_INF)])
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
+    cand_total = _lse(cand_pb, cand_pnb)
+    scores, top = jax.lax.top_k(cand_total, W)
+
+    is_stay = top < W
+    src = jnp.where(is_stay, top, (top - W) // K)
+    kk = jnp.where(is_stay, 0, (top - W) % K)
+    c_new = jnp.where(is_stay, 0, top_ids[kk]).astype(jnp.int32)
+
+    new_prefixes = prefixes[src]
+    new_lens = lens[src] + jnp.where(is_stay, 0, 1)
+    pos = jnp.clip(lens[src], 0, Lmax - 1)
+    updated = new_prefixes.at[jnp.arange(W), pos].set(c_new)
+    new_prefixes = jnp.where(is_stay[:, None], new_prefixes, updated)
+    new_h1 = jnp.where(
+        is_stay,
+        hashes[src, 0],
+        hashes[src, 0] * _P1 + (c_new.astype(jnp.uint32) + 1),
+    )
+    new_h2 = jnp.where(
+        is_stay,
+        hashes[src, 1],
+        hashes[src, 1] * _P2 + (c_new.astype(jnp.uint32) + 1),
+    )
+    new_hashes = jnp.stack([new_h1, new_h2], axis=1)
+    new_pb = cand_pb[top]
+    new_pnb = cand_pnb[top]
+
+    def keep_old(_):
+        return state
+
+    def take_new(_):
+        return (new_prefixes, new_lens, new_pb, new_pnb, new_hashes, active)
+
+    return jax.lax.cond(active, take_new, keep_old, None), None
+
+
 @partial(jax.jit, static_argnames=("blank_id",))
 def blank_collapse(
     log_probs: jnp.ndarray,  # [B, T, V]
@@ -213,7 +316,8 @@ def blank_collapse(
 @partial(
     jax.jit,
     static_argnames=(
-        "beam_width", "blank_id", "max_label_len", "lm_fn", "merge_impl"
+        "beam_width", "blank_id", "max_label_len", "lm_fn", "merge_impl",
+        "prune_k",
     ),
 )
 def beam_search_decode(
@@ -225,6 +329,12 @@ def beam_search_decode(
     lm_fn: Optional[Callable] = None,  # (prefixes [W,L], lens [W]) -> [W,V]
     lm_weight: float = 0.0,
     merge_impl: str = "allpairs",  # "allpairs" (vector, fast on TPU) | "sort"
+    # 0 = full-V extensions; >0 restricts extensions to each frame's
+    # prune_k best characters (EXACT at prune_k >= W+2 without LM; see
+    # _beam_step_pruned).  -1 = auto: min(V, W+2) when lm_fn is None.
+    # With lm_fn set the per-source column ordering differs (lm_add), so
+    # pruning is disabled (full-V path).
+    prune_k: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched prefix beam search.
 
@@ -234,8 +344,15 @@ def beam_search_decode(
     B, T, V = logits.shape
     W, Lmax = beam_width, max_label_len
     log_probs = jax.nn.log_softmax(logits, axis=-1)
+    if prune_k == -1:
+        prune_k = min(V, W + 2)
+    use_prune = prune_k > 0 and prune_k < V and lm_fn is None
+    if use_prune:
+        _, top_ids_bt = jax.lax.top_k(log_probs, prune_k)  # [B, T, K]
+    else:
+        top_ids_bt = jnp.zeros((B, T, 1), jnp.int32)  # unused placeholder
 
-    def decode_one(lp, n):
+    def decode_one(lp, n, top_ids):
         prefixes = jnp.zeros((W, Lmax), dtype=jnp.int32)
         lens = jnp.zeros((W,), dtype=jnp.int32)
         p_b = jnp.full((W,), NEG_INF).at[0].set(0.0)
@@ -245,27 +362,38 @@ def beam_search_decode(
         h = jnp.stack([sent, sent], axis=1).at[0].set(jnp.uint32(0))
 
         def step(state, xs):
-            lp_t, t = xs
+            lp_t, ids_t, t = xs
             s = (*state[:5], t < n)
-            out, _ = _beam_step(
-                s,
-                lp_t,
-                W=W,
-                V=V,
-                Lmax=Lmax,
-                blank_id=blank_id,
-                lm_fn=lm_fn,
-                lm_weight=lm_weight,
-                merge_impl=merge_impl,
-            )
+            if use_prune:
+                out, _ = _beam_step_pruned(
+                    s,
+                    (lp_t, ids_t),
+                    W=W,
+                    K=prune_k,
+                    Lmax=Lmax,
+                    blank_id=blank_id,
+                    merge_impl=merge_impl,
+                )
+            else:
+                out, _ = _beam_step(
+                    s,
+                    lp_t,
+                    W=W,
+                    V=V,
+                    Lmax=Lmax,
+                    blank_id=blank_id,
+                    lm_fn=lm_fn,
+                    lm_weight=lm_weight,
+                    merge_impl=merge_impl,
+                )
             return out[:5], None
 
         init = (prefixes, lens, p_b, p_nb, h)
         (prefixes, lens, p_b, p_nb, h), _ = jax.lax.scan(
-            step, init, (lp, jnp.arange(T))
+            step, init, (lp, top_ids, jnp.arange(T))
         )
         scores = _lse(p_b, p_nb)
         order = jnp.argsort(-scores)
         return prefixes[order], lens[order], scores[order]
 
-    return jax.vmap(decode_one)(log_probs, input_lens)
+    return jax.vmap(decode_one)(log_probs, input_lens, top_ids_bt)

@@ -30,7 +30,7 @@ from .ctc.beam import beam_search_decode, blank_collapse
 from .ctc.greedy import greedy_decode
 from .data import BucketedLoader
 from .text import decode as ids_to_text
-from .utils.metrics import cer, wer
+from .utils.metrics import cer, wer, wer_bootstrap_ci
 
 
 @dataclasses.dataclass
@@ -40,6 +40,10 @@ class EvalResult:
     greedy_cer: float
     beam_wer: float | None = None
     beam_cer: float | None = None
+    # Bootstrap 95% CIs over the eval utterances (protocol noise scale —
+    # VERDICT r3 item 4); (lo, hi) tuples.
+    greedy_wer_ci: tuple | None = None
+    beam_wer_ci: tuple | None = None
 
     def to_dict(self) -> dict:
         d = {
@@ -47,9 +51,13 @@ class EvalResult:
             "greedy_wer": self.greedy_wer,
             "greedy_cer": self.greedy_cer,
         }
+        if self.greedy_wer_ci is not None:
+            d["greedy_wer_ci95"] = list(self.greedy_wer_ci)
         if self.beam_wer is not None:
             d["beam_wer"] = self.beam_wer
             d["beam_cer"] = self.beam_cer
+            if self.beam_wer_ci is not None:
+                d["beam_wer_ci95"] = list(self.beam_wer_ci)
         return d
 
 
@@ -72,6 +80,7 @@ def evaluate_corpus(
     lm_fn=None,
     lm_weight: float = 0.0,
     blank_collapse_threshold: float | None = None,
+    bootstrap_ci: bool = True,
 ) -> EvalResult:
     """Decode the first max_utts of `corpus` with the trainer's model.
 
@@ -183,9 +192,13 @@ def evaluate_corpus(
         greedy_wer=wer(refs, hyps_g),
         greedy_cer=cer(refs, hyps_g),
     )
+    if bootstrap_ci and refs:
+        res.greedy_wer_ci = wer_bootstrap_ci(refs, hyps_g)
     if hyps_b:
         res.beam_wer = wer(refs, hyps_b)
         res.beam_cer = cer(refs, hyps_b)
+        if bootstrap_ci:
+            res.beam_wer_ci = wer_bootstrap_ci(refs, hyps_b)
     return res
 
 

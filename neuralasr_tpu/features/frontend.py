@@ -83,6 +83,12 @@ class FeatureConfig:
     # path is ~1e-2 on CMVN'd features (tests/test_features.py) — below
     # the training noise floor, but keep f32 for oracle-parity work.
     compute_dtype: str = "float32"
+    # Framed-Pallas-kernel tuning (round-4 sweep, VERDICT r3 item 6):
+    # frames per grid program and the DFT-intermediate dtype ("bfloat16"
+    # halves the [bf, 2K] VMEM stage the 1024-block regression was blamed
+    # on; power/log/CMVN stay f32 regardless).
+    pallas_block_frames: int = 256
+    pallas_dft_acc: str = "float32"
 
     @property
     def dim(self) -> int:
@@ -166,6 +172,8 @@ def make_frontend(cfg: FeatureConfig, max_frames: int):
             feats = fused_frontend_framed(
                 y, max_frames, wdft, fb, post, cfg.n_fft, LOG_FLOOR,
                 cfg.hop, cfg.frame_len,
+                block_frames=cfg.pallas_block_frames,
+                acc_dtype=jnp.dtype(cfg.pallas_dft_acc),
             )
             return _postprocess(feats, feat_lens)
 

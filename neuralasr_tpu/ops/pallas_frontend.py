@@ -37,9 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _power_mel_post(m, mel, post, n_fft, floor):
-    """Spectrum halves -> power -> mel -> log -> post matmul, all in VMEM."""
+    """Spectrum halves -> power -> mel -> log -> post matmul, all in VMEM.
+    m may be bf16 (dft_acc knob); power is always computed in f32."""
     nb = m.shape[1] // 2
-    p = (m[:, :nb] ** 2 + m[:, nb:] ** 2) * (1.0 / n_fft)
+    mf = m.astype(jnp.float32)
+    p = (mf[:, :nb] ** 2 + mf[:, nb:] ** 2) * (1.0 / n_fft)
     mel_out = jax.lax.dot_general(
         p.astype(mel.dtype),
         mel,
@@ -145,6 +147,7 @@ def _framed_kernel(
     hop,
     frame_len,
     k,
+    acc,
 ):
     # Overlapping frames without dynamic slicing: Mosaic rejects
     # dynamic-offset slices of tiled memrefs outright (round-3 campaign
@@ -167,7 +170,10 @@ def _framed_kernel(
             rows[i : bf + i, :width],
             wdft_ref[lo : lo + width, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            # acc=bf16 halves the [bf, 2K] DFT-intermediate VMEM stage (the
+            # round-3 1024-block regression blamed its f32 footprint); the
+            # MXU still accumulates each partial product in f32.
+            preferred_element_type=acc,
         )
         m = part if m is None else m + part
     out_ref[:] = _power_mel_post(
@@ -191,7 +197,9 @@ def fused_frontend_framed(
     # pressure breaks the grid's double-buffering; 256 keeps the whole
     # working set small enough to pipeline, and the residual cost is
     # per-program overhead (~12 us x 256 programs), not bandwidth.
+    # Round 4 sweeps 384/512 and a bf16 DFT intermediate (acc_dtype).
     block_frames: int = 256,
+    acc_dtype=jnp.float32,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """[B, N] waveform -> [B, max_frames, F_out] features, one fused kernel
@@ -222,6 +230,7 @@ def fused_frontend_framed(
             hop=hop,
             frame_len=frame_len,
             k=k,
+            acc=acc_dtype,
         ),
         grid=(B, nb),
         in_specs=[

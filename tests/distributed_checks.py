@@ -94,6 +94,39 @@ def check_tp_matches_unsharded():
     print("ok tp_matches_unsharded")
 
 
+def check_tp_xla_attention_matches_unsharded():
+    """ADVICE r3: the production multichip path for SHORT buckets — XLA
+    einsum attention under a sharded mesh (use_pallas on, T below the
+    default attn_min_t threshold) — needs its own TP-vs-unsharded parity
+    case; the kernel-forced case above does not cover it."""
+    cfg = dataclasses.replace(
+        CONFIG1,
+        num_utterances=16,
+        batch_size=8,
+        model_axis=2,
+        model=dataclasses.replace(
+            CONFIG1.model,
+            encoder_type="conformer",
+            num_layers=2,
+            hidden=64,
+            num_heads=4,
+            use_pallas_attention=True,
+            pallas_attn_min_t=512,  # tiny T -> XLA attention under the mesh
+        ),
+    )
+    devs = jax.devices("cpu")
+    tr_tp = Trainer(cfg, mesh=make_mesh(8, model_axis=2, devices=devs))
+    cfg1 = dataclasses.replace(cfg, model_axis=1)
+    tr_1 = Trainer(cfg1, mesh=make_mesh(1, devices=devs[:1]))
+    batch = next(
+        b for b in tr_1.loader.epoch(0) if b.wav.shape[0] % 4 == 0
+    )
+    m_tp = tr_tp.train_batch(batch)
+    m_1 = tr_1.train_batch(batch)
+    np.testing.assert_allclose(m_1["loss"], m_tp["loss"], rtol=1e-4)
+    print("ok tp_xla_attention_matches_unsharded")
+
+
 def check_loader_host_invariance():
     corpus = SyntheticCorpus(24, seed=3)
     buckets = default_buckets(8)
@@ -217,6 +250,7 @@ if __name__ == "__main__":
     check_loader_host_invariance()
     check_dp_matches_single()
     check_tp_matches_unsharded()
+    check_tp_xla_attention_matches_unsharded()
     check_beam_under_mesh()
     check_resharding_restore()
     check_dryrun()

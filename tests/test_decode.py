@@ -212,3 +212,38 @@ def test_blank_collapse_respects_lens():
     lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
     _, new_lens = blank_collapse(lp, jnp.asarray([12]), threshold=0.5)
     assert int(new_lens[0]) <= 12
+
+
+def test_beam_prune_k_exact_vs_full():
+    """Per-frame top-K pre-prune (prune_k) must reproduce the full-V beam
+    exactly at K >= W+2 without LM — prefixes, lens, AND scores — on both
+    random and peaked emissions (VERDICT r3 item 8)."""
+    rng = np.random.default_rng(11)
+    for seed, peaked in ((0, False), (1, True)):
+        r = np.random.default_rng(seed)
+        B, T, V, W = 3, 60, 29, 8
+        logits = r.normal(size=(B, T, V)).astype(np.float32)
+        if peaked:
+            hot = r.integers(0, V, size=(B, T))
+            for b in range(B):
+                logits[b, np.arange(T), hot[b]] += 6.0
+        lens = jnp.asarray([60, 41, 7], jnp.int32)
+        lg = jnp.asarray(logits)
+        fp, fl, fs = beam_search_decode(
+            lg, lens, beam_width=W, max_label_len=64
+        )
+        pp, plen, ps = beam_search_decode(
+            lg, lens, beam_width=W, max_label_len=64, prune_k=-1
+        )
+        np.testing.assert_array_equal(np.asarray(fl), np.asarray(plen))
+        np.testing.assert_allclose(
+            np.asarray(fs), np.asarray(ps), rtol=1e-5, atol=1e-5
+        )
+        # Compare prefixes up to each beam's length.
+        fln = np.asarray(fl)
+        for b in range(B):
+            for w in range(W):
+                np.testing.assert_array_equal(
+                    np.asarray(fp)[b, w, : fln[b, w]],
+                    np.asarray(pp)[b, w, : fln[b, w]],
+                )
