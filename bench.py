@@ -118,12 +118,24 @@ def main() -> None:
     p.add_argument("--fused-scan", action="store_true",
                    help="fwd+bwd directions in one scan per BiLSTM layer "
                         "(half the sequential dispatches; bilstm only)")
-    p.add_argument("--ctc-impl", default="scan", choices=["scan", "pallas"],
-                   help="CTC recursions: XLA scan (default) or single "
-                        "Pallas kernels (ops/pallas_ctc.py) — both within "
-                        "~1-2%% at step level (bench_suite r3b/r3c/r3d "
-                        "rows)")
+    p.add_argument("--ctc-impl", default="scan",
+                   choices=["scan", "pallas", "pallas_stream"],
+                   help="CTC recursions: XLA scan, per-frame-grid Pallas "
+                        "kernels, or the round-4 zero-dispatch streaming "
+                        "kernels (one program per direction, double-"
+                        "buffered DMA; ops/pallas_ctc.py)")
     p.add_argument("--beam-width", type=int, default=16)
+    p.add_argument("--beam-prune-k", type=int, default=0,
+                   help="per-frame top-K extension pre-prune for the beam "
+                        "(0=off, -1=auto min(V, W+2) — exact without LM; "
+                        "ctc/beam.py::_beam_step_pruned)")
+    p.add_argument("--frontend-block", type=int, default=None,
+                   help="frames per framed-Pallas-frontend grid program "
+                        "(FeatureConfig.pallas_block_frames; default 256)")
+    p.add_argument("--frontend-acc", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="framed-frontend DFT-intermediate dtype "
+                        "(FeatureConfig.pallas_dft_acc)")
     p.add_argument("--beam-merge", default="allpairs",
                    choices=["allpairs", "sort"],
                    help="duplicate-prefix merge: all-pairs match tensor "
@@ -179,6 +191,16 @@ def main() -> None:
             # framing/DFT HBM traffic (VERDICT r2 item 2a; parity bounds in
             # tests/test_features.py::test_bf16_compute_dtype_parity).
             compute_dtype=args.dtype,
+            **(
+                {"pallas_block_frames": args.frontend_block}
+                if args.frontend_block is not None
+                else {}
+            ),
+            **(
+                {"pallas_dft_acc": args.frontend_acc}
+                if args.frontend_acc is not None
+                else {}
+            ),
         ),
         model=dataclasses.replace(base.model, **model_over),
     )
@@ -353,6 +375,7 @@ def main() -> None:
         return beam_search_decode(
             lp[:, :T_c], lens, beam_width=args.beam_width,
             max_label_len=max_label, merge_impl=args.beam_merge,
+            prune_k=args.beam_prune_k,
         )
 
     jax.block_until_ready(beam_step(trainer.state["params"], wj, wl))
@@ -410,6 +433,7 @@ def main() -> None:
             return beam_search_decode(
                 lp[:, :_T], lens, beam_width=args.beam_width,
                 max_label_len=max_label, merge_impl=args.beam_merge,
+                prune_k=args.beam_prune_k,
             )
 
         jax.block_until_ready(
@@ -512,6 +536,8 @@ def main() -> None:
         "beam16_audio_s_per_s_per_chip": round(beam_tp, 2),
         "beam_width": args.beam_width,
         "beam_merge": args.beam_merge,
+        "beam_prune_k": args.beam_prune_k,
+        "ctc_impl": args.ctc_impl,
         **collapsed_rows,
         "emissions": "trained_ckpt" if args.ckpt else "untrained",
         "pipeline_audio_s_per_s_prefetched": round(pipeline_tp, 2),

@@ -55,6 +55,11 @@ def capture(args, trace_dir):
             CONFIG5.model,
             use_pallas_attention=on_tpu,
             dtype=jnp.bfloat16,
+            **(
+                {"pallas_attn_min_t": args.attn_min_t}
+                if args.attn_min_t is not None
+                else {}
+            ),
         ),
     )
     trainer = Trainer(cfg)
@@ -211,6 +216,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--attn-min-t", type=int, default=None,
+                    help="override ModelConfig.pallas_attn_min_t for the "
+                         "traced step (0 = kernel everywhere)")
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--parse-only", default=None, metavar="DIR")
     args = ap.parse_args()
