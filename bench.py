@@ -118,12 +118,14 @@ def main() -> None:
     p.add_argument("--fused-scan", action="store_true",
                    help="fwd+bwd directions in one scan per BiLSTM layer "
                         "(half the sequential dispatches; bilstm only)")
-    p.add_argument("--ctc-impl", default="scan",
+    p.add_argument("--ctc-impl", default="pallas_stream",
                    choices=["scan", "pallas", "pallas_stream"],
                    help="CTC recursions: XLA scan, per-frame-grid Pallas "
-                        "kernels, or the round-4 zero-dispatch streaming "
-                        "kernels (one program per direction, double-"
-                        "buffered DMA; ops/pallas_ctc.py)")
+                        "kernels, or the zero-dispatch streaming kernels "
+                        "(default; fastest measured: 0.70 vs scan 1.09 ms "
+                        "fwd+bwd at the headline shape, ctc_micro_r4). "
+                        "Single-chip path; multichip training keeps scan "
+                        "(the pallas_call is not custom_partitioned).")
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--beam-prune-k", type=int, default=0,
                    help="per-frame top-K extension pre-prune for the beam "

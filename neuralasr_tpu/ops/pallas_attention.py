@@ -180,10 +180,10 @@ _FWD_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _fold_rows(BH: int, T: int, bq: int, D: int, itemsize: int) -> int:
-    """Largest G <= 8 dividing B*H whose working set fits the VMEM budget.
+    """Largest G <= 16 dividing B*H whose working set fits the VMEM budget.
     The [bq, T] f32 score/prob intermediates are charged PER unrolled row
     (ADVICE r3: Mosaic may not reuse them across the static unroll)."""
-    for G in (8, 6, 4, 3, 2, 1):
+    for G in (16, 12, 8, 6, 4, 3, 2, 1):
         if BH % G:
             continue
         blocks = (2 * bq * D + 2 * T * D) * G * itemsize * 2  # double-buffer
@@ -411,7 +411,7 @@ def _bwd_plan(BH: int, T_pad: int, D: int, itemsize: int):
     each dispatch ~12 us) subject to the VMEM budget.  All [bq, T] f32
     intermediates (p, dp, ds live together) are charged per unrolled row."""
     best = None
-    for G in (8, 6, 4, 3, 2, 1):
+    for G in (16, 12, 8, 6, 4, 3, 2, 1):
         if BH % G:
             continue
         for bq in (1024, 512, 256, 128):

@@ -283,6 +283,15 @@ def _alpha_stream_kernel(
     ll_ref[:] = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
 
 
+def _pad_lanes(n: int) -> int:
+    """Mosaic requires DMA chunk slices to be 128-lane-aligned on the minor
+    dim (measured on v5e: 'Slice shape along dimension 3 must be aligned to
+    tiling (128), but is 29') — the streamed [.., B, V]/[.., B, S] arrays
+    are therefore padded to lane multiples.  The extra DMA bytes are noise
+    next to HBM bandwidth (lp chunk 64 KB -> 283 KB at batch 64)."""
+    return -(-n // 128) * 128
+
+
 def ctc_alpha_forward_stream(
     lp, ext, allow_skip, state_valid, input_lens, label_lens,
     chunk: int = _STREAM_KB,
@@ -293,7 +302,17 @@ def ctc_alpha_forward_stream(
     S = ext.shape[1]
     Kb = chunk
     T_pad = -(-T // (2 * Kb)) * (2 * Kb)  # chunk pairs -> nb even, >= 2
-    lp_p = jnp.pad(lp, ((0, T_pad - T), (0, 0), (0, 0)))
+    Vp, Sp = _pad_lanes(V), _pad_lanes(S)
+    lp_p = jnp.pad(lp, ((0, T_pad - T), (0, 0), (0, Vp - V)))
+    # Padded lattice states: ext=-1 matches no class; valid=0 kills them.
+    ext = jnp.pad(ext.astype(jnp.int32), ((0, 0), (0, Sp - S)),
+                  constant_values=-1)
+    allow_skip = jnp.pad(
+        allow_skip.astype(jnp.float32), ((0, 0), (0, Sp - S))
+    )
+    state_valid = jnp.pad(
+        state_valid.astype(jnp.float32), ((0, 0), (0, Sp - S))
+    )
     nb = T_pad // Kb
     interpret = jax.default_backend() != "tpu"
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -302,21 +321,21 @@ def ctc_alpha_forward_stream(
             _alpha_stream_kernel, V=V, Kb=Kb, nb=nb, T=T
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # lp chunks stay in HBM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lp chunks
             vmem(), vmem(), vmem(), vmem(), vmem(),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nb, Kb, B, S), jnp.float32),
+            jax.ShapeDtypeStruct((nb, Kb, B, Sp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, Kb, B, V), jnp.float32),
-            pltpu.VMEM((2, Kb, B, S), jnp.float32),
-            pltpu.VMEM((B, S), jnp.float32),
+            pltpu.VMEM((2, Kb, B, Vp), jnp.float32),
+            pltpu.VMEM((2, Kb, B, Sp), jnp.float32),
+            pltpu.VMEM((B, Sp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -327,14 +346,14 @@ def ctc_alpha_forward_stream(
             transcendentals=4 * T_pad * B * S,
         ),
     )(
-        lp_p.reshape(nb, Kb, B, V),
-        ext.astype(jnp.int32),
-        allow_skip.astype(jnp.float32),
-        state_valid.astype(jnp.float32),
+        lp_p.reshape(nb, Kb, B, Vp),
+        ext,
+        allow_skip,
+        state_valid,
         input_lens.astype(jnp.int32)[:, None],
         label_lens.astype(jnp.int32)[:, None],
     )
-    return ll[:, 0], alphas.reshape(T_pad, B, S)[:T]
+    return ll[:, 0], alphas.reshape(T_pad, B, Sp)[:T, :, :S]
 
 
 def _beta_stream_kernel(
@@ -355,7 +374,10 @@ def _beta_stream_kernel(
     )
     ll = ll_in_ref[:]
     feasible = ll > NEG_INF / 2
-    v_idx = jax.lax.broadcasted_iota(jnp.int32, (ext.shape[0], V), 1)
+    # Lane width follows the padded occ buffer; lanes >= V stay zero.
+    v_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (ext.shape[0], occ_buf.shape[-1]), 1
+    )
     nb2 = nb // 2
 
     def lp_dma(slot, c):
@@ -445,29 +467,39 @@ def ctc_beta_occupancy_stream(
     S = ext.shape[1]
     Kb = chunk
     T_pad = -(-T // (2 * Kb)) * (2 * Kb)
-    lp_p = jnp.pad(lp, ((0, T_pad - T), (0, 0), (0, 0)))
-    alphas_p = jnp.pad(alphas, ((0, T_pad - T), (0, 0), (0, 0)))
+    Vp, Sp = _pad_lanes(V), _pad_lanes(S)
+    lp_p = jnp.pad(lp, ((0, T_pad - T), (0, 0), (0, Vp - V)))
+    alphas_p = jnp.pad(
+        alphas, ((0, T_pad - T), (0, 0), (0, Sp - S)),
+        constant_values=NEG_INF,
+    )
     nb = T_pad // Kb
     skip_out = jnp.concatenate(
         [allow_skip[:, 2:], jnp.zeros((B, 2), allow_skip.dtype)], axis=1
+    )
+    ext = jnp.pad(ext.astype(jnp.int32), ((0, 0), (0, Sp - S)),
+                  constant_values=-1)
+    skip_out = jnp.pad(skip_out.astype(jnp.float32), ((0, 0), (0, Sp - S)))
+    state_valid = jnp.pad(
+        state_valid.astype(jnp.float32), ((0, 0), (0, Sp - S))
     )
     interpret = jax.default_backend() != "tpu"
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         functools.partial(_beta_stream_kernel, V=V, Kb=Kb, nb=nb, T=T),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # lp chunks
-            pl.BlockSpec(memory_space=pl.ANY),  # alpha chunks
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lp chunks
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # alphas
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nb, Kb, B, V), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((nb, Kb, B, Vp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, Kb, B, V), jnp.float32),
-            pltpu.VMEM((2, Kb, B, S), jnp.float32),
-            pltpu.VMEM((2, Kb, B, V), jnp.float32),
-            pltpu.VMEM((B, V), jnp.float32),
-            pltpu.VMEM((B, S), jnp.float32),
+            pltpu.VMEM((2, Kb, B, Vp), jnp.float32),
+            pltpu.VMEM((2, Kb, B, Sp), jnp.float32),
+            pltpu.VMEM((2, Kb, B, Vp), jnp.float32),
+            pltpu.VMEM((B, Vp), jnp.float32),
+            pltpu.VMEM((B, Sp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -479,16 +511,16 @@ def ctc_beta_occupancy_stream(
             transcendentals=5 * T_pad * B * S,
         ),
     )(
-        lp_p.reshape(nb, Kb, B, V),
-        alphas_p.reshape(nb, Kb, B, S),
-        ext.astype(jnp.int32),
-        skip_out.astype(jnp.float32),
-        state_valid.astype(jnp.float32),
+        lp_p.reshape(nb, Kb, B, Vp),
+        alphas_p.reshape(nb, Kb, B, Sp),
+        ext,
+        skip_out,
+        state_valid,
         input_lens.astype(jnp.int32)[:, None],
         label_lens.astype(jnp.int32)[:, None],
         ll.astype(jnp.float32)[:, None],
     )
-    return occ.reshape(T_pad, B, V)[:T]
+    return occ.reshape(T_pad, B, Vp)[:T, :, :V]
 
 
 def _beta_occ_kernel(

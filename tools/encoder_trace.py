@@ -113,7 +113,10 @@ GROUPS = [
     ("layernorm", re.compile(r"(LayerNorm|final_norm|/norm/)")),
     ("frontend", re.compile(r"frontend|log_mel|frame|mel|dft|stft", re.I)),
     ("subsample", re.compile(r"subsample|in_proj")),
-    ("ctc", re.compile(r"ctc|alpha|beta|log_softmax|output/", re.I)),
+    # The CTC scan compiles to while loops whose bodies carry the
+    # emission/occupancy einsum scopes (bv,bsv->bs / bs,bsv->bv).
+    ("ctc", re.compile(r"ctc|alpha|beta|log_softmax|output/|"
+                       r"bv,bsv|bs,bsv|/while", re.I)),
     ("optimizer", re.compile(r"adam|opt_state|optax|scale_by|apply_updates|"
                              r"global_norm|clip", re.I)),
     ("specaugment", re.compile(r"specaug|threefry|random_bits", re.I)),
@@ -165,9 +168,15 @@ def load_scope_map(trace_dir):
 def parse(trace_dir):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    pbs = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb"))
+    # Each capture creates plugins/profile/<timestamp>/; parse ONLY the
+    # newest session — summing across stale sessions double-counts (the
+    # first r4a trace summed the r3 + r4 sessions to a bogus 90 ms step).
+    sessions = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*")))
+    if not sessions:
+        raise SystemExit(f"no profile sessions under {trace_dir}")
+    pbs = glob.glob(os.path.join(sessions[-1], "*.xplane.pb"))
     if not pbs:
-        raise SystemExit(f"no xplane.pb under {trace_dir}")
+        raise SystemExit(f"no xplane.pb under {sessions[-1]}")
     scope_map = load_scope_map(trace_dir)
     totals = {}
     examples = {}

@@ -45,9 +45,10 @@ def _sync(x):
     import jax
 
     leaf = jax.tree_util.tree_leaves(x)[0]
-    import numpy as np
-
-    return np.asarray(leaf).ravel()[0]
+    # Fetch ONE element, not the array: np.asarray(leaf) pulls the whole
+    # buffer over the ~45 MB/s tunnel (the first r4a ladder's fwd rows were
+    # inflated ~1.1 ms/call by an 11.8 MB fetch amortized over the loop).
+    return jax.device_get(leaf.ravel()[0])
 
 
 def timeit_chain(fn, args, iters=20):
