@@ -212,3 +212,41 @@ def test_attn_min_t_static_dispatch_and_parity():
     np.testing.assert_allclose(
         np.asarray(lg_k), np.asarray(lg_x), atol=2e-4, rtol=2e-4
     )
+
+
+def test_dropout_identical_across_attention_paths():
+    """ADVICE r3: the attn_min_t dispatch must not change TRAINING behavior
+    under dropout>0.  Round 3 applied dropout to attention probs only on
+    the XLA path; now both paths regularize identically (residual-branch
+    dropout after proj), so same-rng outputs must match across paths."""
+    import dataclasses
+
+    def build(min_t):
+        cfg = ModelConfig(
+            encoder_type="conformer",
+            num_layers=2,
+            hidden=64,
+            num_heads=4,
+            use_pallas_attention=True,
+            partition_attention=False,
+            pallas_attn_min_t=min_t,
+            dropout=0.3,
+        )
+        return CTCModel(cfg)
+
+    B, T, F = 2, 24, 32
+    rng = np.random.default_rng(9)
+    feats = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    lens = jnp.asarray([24, 15], dtype=jnp.int32)
+    m_kernel, m_xla = build(0), build(512)
+    params = m_kernel.init(jax.random.PRNGKey(0), feats, lens)["params"]
+    dr = {"dropout": jax.random.PRNGKey(7)}
+    lg_k, _ = m_kernel.apply(
+        {"params": params}, feats, lens, train=True, rngs=dr
+    )
+    lg_x, _ = m_xla.apply(
+        {"params": params}, feats, lens, train=True, rngs=dr
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_k), np.asarray(lg_x), atol=2e-4, rtol=2e-4
+    )
