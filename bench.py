@@ -402,10 +402,15 @@ def main() -> None:
         thresholds = [(0.999, "999"), (0.9999, "9999")]
         boost = None
     else:
-        thresholds = [(0.999, "simulated")]
-        rngb = np.random.default_rng(1)
-        blank_rows = rngb.random((B, T_full)) < 0.75
-        boost = jnp.where(jnp.asarray(blank_rows), 12.0, 0.0)
+        # No simulated collapse row in the headline JSON (VERDICT r3
+        # item 7): untrained emissions collapse nothing real.  The
+        # MEASURED rows live in bench_suite (`r4b_headline_ckpt`:
+        # 0.54 frames kept at 0.999 on the fresh flagship checkpoint).
+        thresholds = []
+        boost = None
+        collapsed_rows["beam16_collapsed_see"] = (
+            "bench_suite r4b_headline_ckpt (measured, trained ckpt)"
+        )
 
     for thresh, tag in thresholds:
 

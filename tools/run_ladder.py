@@ -30,23 +30,25 @@ from neuralasr_tpu.cli import train as train_cli
 
 STRESS = ["--eval-noise", "1.0", "--eval-shift", "50"]
 
-# (protocol, gate): recorded r3 WER + ~2 pp margin.  base gates on the
-# standard protocol (its stress row was never the headline); the rest gate
-# on stress where their WER has signal.
+# (protocol, gate): round-4 CI-DERIVED gates — fresh-trained WER + 2x the
+# bootstrap-95%-CI half-width (runs/ladder_r4_gates.json; VERDICT r3
+# item 4 replaced the hand-picked ~2 pp margins), against the fresh
+# runs/{cfg}_r4 checkpoints.
 #
-# History: the r2-based gates (conv 0.16, fusion 0.115) correctly FIRED on
-# the first r3 run — resuming the r2 checkpoints re-ran each config's
-# final partial epoch (~165 steps at the cosine-decay tail), which moved
-# the BiLSTM-family stress WER +3-4 pp (late low-LR steps on seen data
-# trade off-distribution robustness for in-distribution fit; the conformer
-# moved the OTHER way, 9.31 -> 7.03).  The checkpoints now carry
-# "complete" metadata (cli/train.py final save), so --resume retrains
-# nothing and these gates are sharp against the frozen r3 checkpoints.
+# History: the r2-based gates (conv 0.16, fusion 0.115) FIRED on the first
+# r3 run after a partial-epoch resume of the r2 checkpoints.  Round 4
+# root-caused it: repeating the same ~166-step LR-tail epoch on a FRESH
+# checkpoint moved conv stress WER only 15.71 -> 15.51 % (inside the CI),
+# while disjoint-seed re-evals of the SAME checkpoint differ by +3.0 pp
+# (15.71 vs 18.73 %) — the r3 "drift" magnitude equals protocol variance,
+# not an LR-tail pathology; the trigger was the r2 checkpoints' missing
+# completion metadata (mid-epoch iterator state).  Gates are now sized
+# from the measured CI instead of intuition.
 GATES = {
-    "base": ("standard", 0.08),  # r3: 5.70 % beam standard
-    "conv": ("stress", 0.20),  # r3: 17.32 % beam stress
-    "fusion": ("stress", 0.14),  # r3: 11.78 % beam+LM stress
-    "conformer": ("stress", 0.09),  # r3: 7.03 % beam stress
+    "base": ("standard", 0.0441),  # r4: 2.71 % beam, CI [1.90, 3.60]
+    "conv": ("stress", 0.1927),  # r4: 15.71 % beam, CI [13.97, 17.53]
+    "fusion": ("stress", 0.1176),  # r4: 8.88 % beam+LM, CI [7.45, 10.33]
+    "conformer": ("stress", 0.1256),  # r4: 9.82 % beam, CI [8.47, 11.22]
 }
 
 SWEEP_SHIFTS = [0, 25, 50, 75]
@@ -93,9 +95,9 @@ def run(mod, argv, out_json=None, failures=None):
 def ladder(configs, sweep=False):
     failures: list[str] = []
     for cfg in configs:
-        # Checkpoints live in the round-2 workdirs; --resume retrains
+        # Checkpoints live in the round-4 fresh workdirs; --resume retrains
         # nothing once the preset's epochs are consumed.
-        wd = f"runs/{cfg}_r2"
+        wd = f"runs/{cfg}_r4"
         run(train_cli,
             ["train.py", "--config", cfg, "--workdir", wd, "--resume"])
         ev = ["evaluate.py", "--config", cfg, "--workdir", wd,
@@ -103,15 +105,15 @@ def ladder(configs, sweep=False):
         protocol, gate = GATES.get(cfg, (None, None))
         std_gate = ["--gate", str(gate)] if protocol == "standard" else []
         stress_gate = ["--gate", str(gate)] if protocol == "stress" else []
-        run(eval_cli, ev + std_gate, f"runs/{cfg}_r3.eval.json",
+        run(eval_cli, ev + std_gate, f"runs/{cfg}_ladder.eval.json",
             failures=failures)
         run(eval_cli, ev + STRESS + stress_gate,
-            f"runs/{cfg}_r3.eval_stress.json", failures=failures)
+            f"runs/{cfg}_ladder.eval_stress.json", failures=failures)
         if cfg == "fusion":  # isolate the shallow-fusion gain
             run(eval_cli, ev + ["--lm-weight", "0"],
-                f"runs/{cfg}_r3.eval_nolm.json", failures=failures)
+                f"runs/{cfg}_ladder.eval_nolm.json", failures=failures)
             run(eval_cli, ev + STRESS + ["--lm-weight", "0"],
-                f"runs/{cfg}_r3.eval_stress_nolm.json", failures=failures)
+                f"runs/{cfg}_ladder.eval_stress_nolm.json", failures=failures)
     if sweep:
         shift_sweep([c for c in configs if c in SWEEP_CONFIGS])
     if failures:
@@ -131,7 +133,7 @@ def shift_sweep(configs):
             run(
                 eval_cli,
                 ["evaluate.py", "--config", cfg, "--workdir",
-                 f"runs/{cfg}_r2", "--max-utts", "128",
+                 f"runs/{cfg}_r4", "--max-utts", "128",
                  "--eval-noise", "1.0", "--eval-shift", str(shift)],
                 "runs/_sweep_tmp.json",
             )
