@@ -49,13 +49,34 @@ def _peak_flops_per_s(device) -> float | None:
     return None
 
 
+def _fetch_sync(out, block):
+    """Force a REAL device fence: `block_until_ready` does not fence on
+    the axon backend (BASELINE.md measurement notes) — r2-r4 decode
+    readings swung +-20% across sessions from it.  device_get the
+    SMALLEST leaf (a loss/lens scalar) — a pure transfer, no jnp ops
+    (an indexing op would trigger a remote compile INSIDE the timed
+    region, which inflated a first r4 attempt by ~80 ms/iter)."""
+    import jax
+
+    leaves = [
+        x for x in jax.tree_util.tree_leaves(out)
+        if hasattr(x, "size") and getattr(x, "size", 0)
+    ]
+    if leaves:
+        jax.device_get(min(leaves, key=lambda x: x.size))
+    else:
+        block(out)
+
+
 def _timeit(fn, iters: int, block) -> float:
     """Steady-state seconds/iter (fn must be warmed up)."""
+    # Pre-sync: drain the dispatch queue so the timer starts clean.
+    _fetch_sync(fn(), block)
     t0 = time.time()
     out = None
     for _ in range(iters):
         out = fn()
-    block(out)
+    _fetch_sync(out, block)
     return (time.time() - t0) / iters
 
 
