@@ -144,9 +144,8 @@ def main() -> None:
                    help="CTC recursions: XLA scan, per-frame-grid Pallas "
                         "kernels, or the zero-dispatch streaming kernels "
                         "(default; fastest measured: 0.70 vs scan 1.09 ms "
-                        "fwd+bwd at the headline shape, ctc_micro_r4). "
-                        "Single-chip path; multichip training keeps scan "
-                        "(the pallas_call is not custom_partitioned).")
+                        "fwd+bwd at the headline shape, ctc_micro_r4; "
+                        "mesh-safe via batch-axis custom_partitioning).")
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--beam-prune-k", type=int, default=0,
                    help="per-frame top-K extension pre-prune for the beam "

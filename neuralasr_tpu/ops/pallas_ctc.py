@@ -292,7 +292,7 @@ def _pad_lanes(n: int) -> int:
     return -(-n // 128) * 128
 
 
-def ctc_alpha_forward_stream(
+def _alpha_stream_impl(
     lp, ext, allow_skip, state_valid, input_lens, label_lens,
     chunk: int = _STREAM_KB,
 ):
@@ -457,7 +457,7 @@ def _beta_stream_kernel(
     occ_dma(0, 0).wait()
 
 
-def ctc_beta_occupancy_stream(
+def _beta_stream_impl(
     lp, alphas, ext, allow_skip, state_valid, input_lens, label_lens, ll,
     chunk: int = _STREAM_KB,
 ):
@@ -647,3 +647,81 @@ def ctc_beta_occupancy(
         ll.astype(jnp.float32)[:, None],
     )
     return occ[:T]
+
+
+# ---------------- GSPMD partitioning for the streaming kernels ----------
+#
+# CTC is embarrassingly parallel over the batch: every row's lattice is
+# independent, so under a ('data', ...) mesh each shard runs the streaming
+# kernel on its local rows with zero collectives (the loss mean's psum is
+# inserted by GSPMD downstream).  Without this declaration a bare
+# pallas_call is opaque to the partitioner — which is why the scan impl
+# was the only mesh-safe CTC until round 4.
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _ctc_specs(mesh, arg_shapes):
+    spec = arg_shapes[0].sharding.spec  # lp [T, B, V]
+    b = spec[1] if len(spec) > 1 else None
+    tbx = NamedSharding(mesh, P(None, b, None))
+    bx = NamedSharding(mesh, P(b, None))
+    b1 = NamedSharding(mesh, P(b))
+    return tbx, bx, b1
+
+
+def _alpha_partition(mesh, arg_shapes, result_shape):
+    tbx, bx, b1 = _ctc_specs(mesh, arg_shapes)
+
+    def lower_fn(lp, ext, skip, valid, il, ll):
+        return _alpha_stream_impl(lp, ext, skip, valid, il, ll)
+
+    return mesh, lower_fn, (b1, tbx), (tbx, bx, bx, bx, b1, b1)
+
+
+@custom_partitioning
+def ctc_alpha_forward_stream(lp, ext, allow_skip, state_valid,
+                             input_lens, label_lens):
+    return _alpha_stream_impl(
+        lp, ext, allow_skip, state_valid, input_lens, label_lens
+    )
+
+
+ctc_alpha_forward_stream.def_partition(
+    partition=_alpha_partition,
+    infer_sharding_from_operands=lambda mesh, arg_shapes, result_shape: (
+        lambda s: (s[2], s[0])
+    )(_ctc_specs(mesh, arg_shapes)),
+    sharding_rule="t b v, b s, b s, b s, b, b -> b, t b s",
+    need_replication_factors=("t", "v", "s"),
+)
+
+
+def _beta_partition(mesh, arg_shapes, result_shape):
+    tbx, bx, b1 = _ctc_specs(mesh, arg_shapes)
+
+    def lower_fn(lp, alphas, ext, skip, valid, il, ll, llh):
+        return _beta_stream_impl(lp, alphas, ext, skip, valid, il, ll, llh)
+
+    return mesh, lower_fn, tbx, (tbx, tbx, bx, bx, bx, b1, b1, b1)
+
+
+@custom_partitioning
+def ctc_beta_occupancy_stream(lp, alphas, ext, allow_skip, state_valid,
+                              input_lens, label_lens, ll):
+    return _beta_stream_impl(
+        lp, alphas, ext, allow_skip, state_valid, input_lens, label_lens, ll
+    )
+
+
+ctc_beta_occupancy_stream.def_partition(
+    partition=_beta_partition,
+    infer_sharding_from_operands=lambda mesh, arg_shapes, result_shape: (
+        _ctc_specs(mesh, arg_shapes)[0]
+    ),
+    sharding_rule=(
+        "t b v, t b s, b s, b s, b s, b, b, b -> t b v"
+    ),
+    need_replication_factors=("t", "v", "s"),
+)

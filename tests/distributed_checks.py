@@ -127,6 +127,44 @@ def check_tp_xla_attention_matches_unsharded():
     print("ok tp_xla_attention_matches_unsharded")
 
 
+def check_ctc_stream_under_mesh():
+    """Round 4: the streaming CTC kernels are custom_partitioned over the
+    batch — loss and grads under an 8-device 'data' mesh must equal the
+    single-device scan implementation."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neuralasr_tpu.ctc.loss import ctc_loss
+
+    rng = np.random.default_rng(3)
+    B, T, V, L = 16, 60, 29, 18
+    logits = jnp.asarray(rng.normal(size=(B, T, V)).astype(np.float32)) * 2.0
+    labels = jnp.asarray(rng.integers(1, V, size=(B, L)), jnp.int32)
+    il = jnp.asarray(rng.integers(40, T + 1, size=(B,)), jnp.int32)
+    ll = jnp.asarray(rng.integers(1, L + 1, size=(B,)), jnp.int32)
+
+    def loss_sum(lg, impl):
+        per = ctc_loss(lg, labels, il, ll, impl=impl)
+        return jnp.where(per > 1e29, 0.0, per).sum()
+
+    want_v, want_g = jax.value_and_grad(
+        partial(loss_sum, impl="scan"))(logits)
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("data"))
+    lg_sh = jax.device_put(logits, NamedSharding(mesh, P("data", None, None)))
+    labels_sh = jax.device_put(labels, sh)  # noqa: F841 (captured consts ok)
+    got_v, got_g = jax.jit(
+        jax.value_and_grad(partial(loss_sum, impl="pallas_stream"))
+    )(lg_sh)
+    np.testing.assert_allclose(float(want_v), float(got_v), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(want_g), np.asarray(got_g), rtol=1e-4, atol=1e-5
+    )
+    print("ok ctc_stream_under_mesh")
+
+
 def check_loader_host_invariance():
     corpus = SyntheticCorpus(24, seed=3)
     buckets = default_buckets(8)
@@ -251,6 +289,7 @@ if __name__ == "__main__":
     check_dp_matches_single()
     check_tp_matches_unsharded()
     check_tp_xla_attention_matches_unsharded()
+    check_ctc_stream_under_mesh()
     check_beam_under_mesh()
     check_resharding_restore()
     check_dryrun()
