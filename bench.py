@@ -420,14 +420,12 @@ def main() -> None:
     T_full = lp_once.shape[1]
     if args.ckpt:
         thresholds = [(0.999, "999"), (0.9999, "9999")]
-        boost = None
     else:
         # No simulated collapse row in the headline JSON (VERDICT r3
         # item 7): untrained emissions collapse nothing real.  The
         # MEASURED rows live in bench_suite (`r4b_headline_ckpt`:
         # 0.54 frames kept at 0.999 on the fresh flagship checkpoint).
         thresholds = []
-        boost = None
         collapsed_rows["beam16_collapsed_see"] = (
             "bench_suite r4b_headline_ckpt (measured, trained ckpt)"
         )
@@ -440,10 +438,7 @@ def main() -> None:
             logits, out_lens = trainer.model.apply(
                 {"params": params}, feats, feat_lens, train=False
             )
-            logits = logits.astype(jnp.float32)
-            if boost is not None:
-                logits = logits.at[:, :, 0].add(boost)
-            lp = jax.nn.log_softmax(logits, axis=-1)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return blank_collapse(lp, out_lens, threshold=_th)
 
         lp_c2, lens_c2 = collapsed_posteriors(trainer.state["params"], wj, wl)

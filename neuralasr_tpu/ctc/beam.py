@@ -185,7 +185,7 @@ def _beam_step(
 
 
 def _beam_step_pruned(
-    state, inputs, *, W, K, Lmax, blank_id, merge_impl
+    state, inputs, *, W, K, Lmax, blank_id
 ):
     """Per-frame top-K column pre-prune (VERDICT r3 item 8): extension
     candidates are restricted to the frame's K best characters, shrinking
@@ -372,7 +372,6 @@ def beam_search_decode(
                     K=prune_k,
                     Lmax=Lmax,
                     blank_id=blank_id,
-                    merge_impl=merge_impl,
                 )
             else:
                 out, _ = _beam_step(

@@ -84,9 +84,12 @@ class FeatureConfig:
     # the training noise floor, but keep f32 for oracle-parity work.
     compute_dtype: str = "float32"
     # Framed-Pallas-kernel tuning (round-4 sweep, VERDICT r3 item 6):
-    # frames per grid program and the DFT-intermediate dtype ("bfloat16"
-    # halves the [bf, 2K] VMEM stage the 1024-block regression was blamed
-    # on; power/log/CMVN stay f32 regardless).
+    # frames per grid program; 256 is the measured optimum (384/512 within
+    # tunnel noise).  pallas_dft_acc="bfloat16" is MEASURED-UNVIABLE and
+    # kept only as the recorded A/B: the DFT partial sums cancel
+    # catastrophically in bf16 (max_err ~6.7 on CMVN'd features, CPU
+    # preflight) and Mosaic rejects bf16 matmul accumulators on TPU
+    # anyway ("Expected matmul acc to be 32-bit") — do not ship it.
     pallas_block_frames: int = 256
     pallas_dft_acc: str = "float32"
 

@@ -424,14 +424,19 @@ def _bwd_plan(BH: int, T_pad: int, D: int, itemsize: int):
                 if best is None or G * bq > best[0] * best[1]:
                     best = (G, bq)
                 break  # smaller bq only lowers the score for this G
-    return best if best is not None else (1, 128)
+    # None = nothing fits (T far beyond the ASR regime): the caller falls
+    # back to the jnp reference VJP instead of compiling an over-budget
+    # kernel (the explicit guard round 3 had; ADVICE/code-review r4).
+    return best
 
 
 def _backward_pallas(q, k, v, lens, cos, sin, g, interpret: bool | None = None):
     B, T, H, D = q.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    G, bq = _bwd_plan(B * H, T, D, q.dtype.itemsize)
+    plan = _bwd_plan(B * H, T, D, q.dtype.itemsize)
+    assert plan is not None, "caller must check _bwd_plan before lowering"
+    G, bq = plan
     T_pad = -(-T // bq) * bq
     pad = lambda x: jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
     padt = lambda t: jnp.pad(t, ((0, T_pad - T), (0, 0)))
@@ -555,15 +560,34 @@ def _fwd_local(q, k, v, mask_or_lens, cos, sin):
     return _forward(q, k, v, lens, cos, sin), (q, k, v, lens, cos, sin)
 
 
+def _ref_vjp_bwd(q, k, v, lens, cos, sin, g):
+    """Rematerialized jnp-reference backward for shapes past the VMEM
+    budget (T far beyond the ASR regime) — same math, the T^2 attention
+    matrix round-trips HBM."""
+    _, vjp = jax.vjp(
+        lambda q, k, v: _attention_ref(q, k, v, lens, cos, sin), q, k, v
+    )
+    dq, dk, dv = vjp(g)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _bwd(res, g):
     q, k, v, lens, cos, sin = res
-    dq, dk, dv = _backward_partitioned(q, k, v, lens, cos, sin, g)
+    B, T, H, D = q.shape
+    if _bwd_plan(B * H, T, D, q.dtype.itemsize) is None:
+        dq, dk, dv = _ref_vjp_bwd(q, k, v, lens, cos, sin, g)
+    else:
+        dq, dk, dv = _backward_partitioned(q, k, v, lens, cos, sin, g)
     return dq, dk, dv, None, None, None
 
 
 def _bwd_local(res, g):
     q, k, v, lens, cos, sin = res
-    dq, dk, dv = _backward_pallas(q, k, v, lens, cos, sin, g)
+    B, T, H, D = q.shape
+    if _bwd_plan(B * H, T, D, q.dtype.itemsize) is None:
+        dq, dk, dv = _ref_vjp_bwd(q, k, v, lens, cos, sin, g)
+    else:
+        dq, dk, dv = _backward_pallas(q, k, v, lens, cos, sin, g)
     return dq, dk, dv, None, None, None
 
 

@@ -122,13 +122,31 @@ def test_backward_qblocked_accumulation():
 
 def test_bwd_plan_fits_all_asr_lengths():
     """The q-blocked backward replaces round 3's T>~900 XLA-remat cliff:
-    the plan must return a budget-fitting (G, bq) at every ASR-reachable T."""
-    for T in (240, 480, 960, 1920, 3072):
-        G, bq = _bwd_plan(384, T, 64, 2)
-        assert G >= 1 and bq >= 128, (T, G, bq)
+    the plan must return a budget-fitting (G, bq) at every ASR-reachable
+    T — verified against the budget itself, not just non-None (the
+    over-budget case returns None and routes to the reference VJP)."""
+    from neuralasr_tpu.ops import pallas_attention as pa
+
+    def working_set(G, bq, T, D=64, it=2):
+        blocks = (2 * bq * D + 2 * T * D) * G * it * 2
+        scr = G * T * D * (it + 8)
+        inter = G * 3 * bq * T * 4
+        tables = (2 * bq * D + 2 * T * D) * 4 * 2
+        return blocks + scr + inter + tables
+
+    # Attention runs post-subsample (T' <= ~768 for 30 s audio; 1920
+    # covers no-subsample long-audio experiments).
+    for T in (240, 480, 960, 1920):
+        plan = _bwd_plan(384, T, 64, 2)
+        assert plan is not None, T
+        G, bq = plan
+        assert working_set(G, bq, T) <= pa._BWD_VMEM_BUDGET, (T, G, bq)
     # Long T trades G for block count but never falls off the kernel.
     G, bq = _bwd_plan(48, 1920, 64, 2)
     assert G * bq >= 256, (G, bq)
+    # Past the budget the plan refuses — the reference-VJP fallback guard
+    # (restored in round 4) takes over instead of an over-VMEM compile.
+    assert _bwd_plan(384, 8192, 64, 4) is None
 
 
 def test_bfloat16_grads_finite_and_close():

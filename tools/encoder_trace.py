@@ -115,8 +115,13 @@ GROUPS = [
     ("subsample", re.compile(r"subsample|in_proj")),
     # The CTC scan compiles to while loops whose bodies carry the
     # emission/occupancy einsum scopes (bv,bsv->bs / bs,bsv->bv).
+    # The streaming CTC kernels appear as bare train-step-level
+    # pallas_call scopes (jvp()/pallas_call fwd, transpose(jvp())/... bwd);
+    # the attention kernel carries mhsa/ and the frontend kernel the
+    # jit(frontend) scope, so the bare form is CTC's.
     ("ctc", re.compile(r"ctc|alpha|beta|log_softmax|output/|"
-                       r"bv,bsv|bs,bsv|/while", re.I)),
+                       r"bv,bsv|bs,bsv|/while|"
+                       r"jvp\(\)?\)?/pallas_call", re.I)),
     ("optimizer", re.compile(r"adam|opt_state|optax|scale_by|apply_updates|"
                              r"global_norm|clip", re.I)),
     ("specaugment", re.compile(r"specaug|threefry|random_bits", re.I)),

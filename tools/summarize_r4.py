@@ -29,25 +29,13 @@ def ci(rec, key):
 
 
 def main():
-    rows = []
     for cfg in ("base", "conv", "fusion", "conformer"):
         std = last_json(f"runs/{cfg}_r4.eval.json")
         st = last_json(f"runs/{cfg}_r4.eval_stress.json")
-        row = {
-            "cfg": cfg,
-            "std_g": std and std.get("greedy_wer"),
-            "std_b": std and std.get("beam_wer"),
-            "std_ci": std and (std.get("beam_wer_ci95")
-                               or std.get("greedy_wer_ci95")),
-            "str_g": st and st.get("greedy_wer"),
-            "str_b": st and st.get("beam_wer"),
-            "str_ci": st and (st.get("beam_wer_ci95")
-                              or st.get("greedy_wer_ci95")),
-        }
-        rows.append(row)
-        print(f"| {cfg} | {pct(row['std_g'])} / {pct(row['std_b'])} "
-              f"{ci(std, 'beam_wer_ci95')} | "
-              f"{pct(row['str_g'])} / {pct(row['str_b'])} "
+        g = lambda rec, k: rec.get(k) if rec else None
+        print(f"| {cfg} | {pct(g(std, 'greedy_wer'))} / "
+              f"{pct(g(std, 'beam_wer'))} {ci(std, 'beam_wer_ci95')} | "
+              f"{pct(g(st, 'greedy_wer'))} / {pct(g(st, 'beam_wer'))} "
               f"{ci(st, 'beam_wer_ci95')} |")
     for extra in ("fusion_r4.eval_stress_nolm", "conv_r4.eval_stress_seed7",
                   "conformer_r4.eval_stress_seed7", "base_r4.eval_seed7",
