@@ -204,3 +204,33 @@ def test_padded_query_rows_convention():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_backward_over_budget_reference_fallback():
+    """When no (G, bq) fits the VMEM budget, the backward must route to
+    the jnp reference VJP (the explicit guard restored in round 4) and
+    still match the reference exactly."""
+    from neuralasr_tpu.ops import pallas_attention as pa
+
+    q, k, v, g, _ = _inputs(B=2, T=24, H=2, D=16, seed=9)
+    lens = jnp.asarray([24, 10], jnp.int32)
+    cos, sin = rope_tables(24, 16)
+    orig = pa._BWD_VMEM_BUDGET
+    try:
+        pa._BWD_VMEM_BUDGET = 0  # nothing fits -> fallback
+        assert pa._bwd_plan(4, 24, 16, 4) is None
+        _, vjp = jax.vjp(
+            lambda a, b, c: flash_attention_rope(a, b, c, lens, cos, sin),
+            q, k, v,
+        )
+        got = vjp(g)
+    finally:
+        pa._BWD_VMEM_BUDGET = orig
+    _, vjp_ref = jax.vjp(
+        lambda a, b, c: _attention_ref(a, b, c, lens, cos, sin), q, k, v
+    )
+    want = vjp_ref(g)
+    for name, a, b in zip(("dq", "dk", "dv"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=name
+        )
