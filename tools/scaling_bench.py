@@ -131,6 +131,8 @@ def simulate(args) -> None:
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # axon sitecustomize off
     env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)
     total_devices = max(args.simulate)
     rows = []
