@@ -340,6 +340,14 @@ def beam_search_decode(
 
     Returns (prefixes [B, W, Lmax], lens [B, W], scores [B, W]), beams
     sorted best-first per row.
+
+    Interactions (ADVICE r4): `prune_k > 0` routes to _beam_step_pruned,
+    which always merges with the all-pairs hash tensor — a `merge_impl=
+    "sort"` request is ignored on that path (the sort merge measured
+    12-13x slower on TPU and was never ported to the pruned step).  An
+    active `lm_fn` disables pruning entirely (per-source column ordering
+    differs under lm_add), falling back to the full-V step, where
+    `merge_impl` is honored.
     """
     B, T, V = logits.shape
     W, Lmax = beam_width, max_label_len

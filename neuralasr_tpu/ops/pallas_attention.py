@@ -403,31 +403,60 @@ def _bwd_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, cosq_ref, sinq_ref,
             dv_ref[g] = dv_scr[g].astype(dv_ref.dtype)
 
 
-_BWD_VMEM_BUDGET = 10 * 1024 * 1024
+# 12 MB of the ~16 MB/core VMEM.  The round-5 padding-aware accounting
+# (ADVICE r4) charges ~10-15 % more than round 4's unpadded estimate at
+# non-multiple T; 10 MB would demote the long-T plans (e.g. BH=48, T=1920
+# -> bq=256 pads to 2048, 11.1 MB) that round 4's preflight already proved
+# compile and run on real v5e.  The estimate itself is conservative
+# (Mosaic reuses the per-unroll intermediates it charges separately), so
+# 12 MB keeps real headroom; bench.py --preflight exercises the
+# near-budget plan edge on silicon each round.
+_BWD_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _bwd_plan(BH: int, T_pad: int, D: int, itemsize: int):
-    """Choose (G, bq) for the backward: maximize G*bq (fewest programs,
-    each dispatch ~12 us) subject to the VMEM budget.  All [bq, T] f32
-    intermediates (p, dp, ds live together) are charged per unrolled row."""
-    best = None
+def _bwd_working_set(G: int, bq: int, T: int, D: int, itemsize: int) -> int:
+    """VMEM bytes for one backward program at (G, bq).  T is the UNPADDED
+    sequence length; _backward_pallas pads it up to a bq multiple, so every
+    term is charged at T_pad (ADVICE r4: charging unpadded T under-counted
+    the working set near bucket edges — e.g. BH=384, D=64, bf16, T=261
+    plans bq=256, pads to 512, and the real set is ~2x the estimate)."""
+    T_pad = -(-T // bq) * bq
+    blocks = (2 * bq * D + 2 * T_pad * D) * G * itemsize * 2  # double-buffer
+    scr = G * T_pad * D * (itemsize + 8)  # roped K + f32 dK/dV accumulators
+    inter = G * 3 * bq * T_pad * 4  # p, dp, ds per unrolled row
+    tables = (2 * bq * D + 2 * T_pad * D) * 4 * 2
+    return blocks + scr + inter + tables
+
+
+def _bwd_plan(BH: int, T: int, D: int, itemsize: int):
+    """Choose (G, bq) for the backward: minimize grid-program count
+    (each dispatch ~12 us serialized, ~1-3 us pipelined), tie-broken by
+    least padding waste then largest fold, subject to the VMEM budget at
+    PADDED T.  (Round 4 maximized the G*bq proxy, which with the
+    padding-aware accounting would prefer a padded (16,128) over the
+    silicon-proven unpadded (8,240) at the headline bucket.)  All
+    [bq, T_pad] f32 intermediates (p, dp, ds live together) are charged
+    per unrolled row."""
+    best = None  # (programs, T_pad, -G, G, bq)
     for G in (16, 12, 8, 6, 4, 3, 2, 1):
         if BH % G:
             continue
         for bq in (1024, 512, 256, 128):
-            bq = min(bq, T_pad)
-            blocks = (2 * bq * D + 2 * T_pad * D) * G * itemsize * 2
-            scr = G * T_pad * D * (itemsize + 8)  # roped K + f32 dK/dV acc
-            inter = G * 3 * bq * T_pad * 4
-            tables = (2 * bq * D + 2 * T_pad * D) * 4 * 2
-            if blocks + scr + inter + tables <= _BWD_VMEM_BUDGET:
-                if best is None or G * bq > best[0] * best[1]:
-                    best = (G, bq)
-                break  # smaller bq only lowers the score for this G
+            bq = min(bq, T)
+            if _bwd_working_set(G, bq, T, D, itemsize) > _BWD_VMEM_BUDGET:
+                continue
+            nblk = -(-T // bq)
+            key = (BH // G * nblk, nblk * bq, -G, G, bq)
+            if best is None or key < best:
+                best = key
+            # Smaller bq for this G only adds blocks (programs) and the
+            # working set grows monotonically with bq, padding included —
+            # the first fitting (largest) bq dominates the rest.
+            break
     # None = nothing fits (T far beyond the ASR regime): the caller falls
     # back to the jnp reference VJP instead of compiling an over-budget
     # kernel (the explicit guard round 3 had; ADVICE/code-review r4).
-    return best
+    return None if best is None else (best[3], best[4])
 
 
 def _backward_pallas(q, k, v, lens, cos, sin, g, interpret: bool | None = None):

@@ -123,24 +123,34 @@ def test_backward_qblocked_accumulation():
 def test_bwd_plan_fits_all_asr_lengths():
     """The q-blocked backward replaces round 3's T>~900 XLA-remat cliff:
     the plan must return a budget-fitting (G, bq) at every ASR-reachable
-    T — verified against the budget itself, not just non-None (the
-    over-budget case returns None and routes to the reference VJP)."""
+    T — charged at PADDED T via the kernel's own accounting helper
+    (ADVICE r4: a plan checked at unpadded T could approve a kernel whose
+    padded working set exceeds VMEM; non-multiple lengths like 261/950
+    are the exposed cases)."""
     from neuralasr_tpu.ops import pallas_attention as pa
 
-    def working_set(G, bq, T, D=64, it=2):
-        blocks = (2 * bq * D + 2 * T * D) * G * it * 2
-        scr = G * T * D * (it + 8)
-        inter = G * 3 * bq * T * 4
-        tables = (2 * bq * D + 2 * T * D) * 4 * 2
-        return blocks + scr + inter + tables
-
     # Attention runs post-subsample (T' <= ~768 for 30 s audio; 1920
-    # covers no-subsample long-audio experiments).
-    for T in (240, 480, 960, 1920):
+    # covers no-subsample long-audio experiments).  261 and 950 sit just
+    # past block boundaries, where padding doubles the naive estimate.
+    for T in (240, 261, 480, 950, 960, 1920):
         plan = _bwd_plan(384, T, 64, 2)
         assert plan is not None, T
         G, bq = plan
-        assert working_set(G, bq, T) <= pa._BWD_VMEM_BUDGET, (T, G, bq)
+        # Accounting must be padding-aware: charging T and charging the
+        # explicit T_pad must agree (the helper pads internally)...
+        T_pad = -(-T // bq) * bq
+        assert pa._bwd_working_set(G, bq, T, 64, 2) == pa._bwd_working_set(
+            G, bq, T_pad, 64, 2
+        ), (T, G, bq)
+        # ...and the padded working set must fit the budget.
+        assert (
+            pa._bwd_working_set(G, bq, T, 64, 2) <= pa._BWD_VMEM_BUDGET
+        ), (T, G, bq)
+    # The ADVICE r4 exposure case: BH=384, D=64, bf16, T=261.  Whatever
+    # the plan picks, its PADDED set must fit (the old unpadded charge
+    # approved (G=8, bq=256) at ~18.3 MB padded > 16 MB physical VMEM).
+    G, bq = _bwd_plan(384, 261, 64, 2)
+    assert pa._bwd_working_set(G, bq, 261, 64, 2) <= pa._BWD_VMEM_BUDGET
     # Long T trades G for block count but never falls off the kernel.
     G, bq = _bwd_plan(48, 1920, 64, 2)
     assert G * bq >= 256, (G, bq)
