@@ -171,7 +171,31 @@ def main() -> None:
                         "on REAL synthetic-speech emissions — the measured "
                         "(non-simulated) blank-collapse numbers "
                         "(VERDICT r2 item 9)")
+    p.add_argument("--preflight", action="store_true",
+                   help="compile + parity-check every Pallas kernel family "
+                        "on the live backend (attention fwd/bwd plan edges, "
+                        "streaming/grid CTC lane-pad edge, frontend blocks) "
+                        "and exit; writes --preflight-out and prints one "
+                        "JSON line (utils/preflight.py; VERDICT r4 item 6)")
+    p.add_argument("--preflight-out", default="runs/preflight_r5.json")
     args = p.parse_args()
+
+    if args.preflight:
+        from neuralasr_tpu.utils.preflight import run_preflight
+
+        res = run_preflight()
+        os.makedirs(os.path.dirname(args.preflight_out) or ".", exist_ok=True)
+        with open(args.preflight_out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps({
+            "metric": "preflight_all_ok",
+            "value": 1 if res["all_ok"] else 0,
+            "unit": "bool",
+            "vs_baseline": 1.0,
+            "backend": res["backend"],
+            "out": args.preflight_out,
+        }))
+        return
 
     on_tpu = jax.default_backend() == "tpu"
     use_pallas_attn = (
