@@ -89,6 +89,18 @@ class MHSA(nn.Module):
     # from T~480 the two tie, and at long T the kernel wins on memory (no
     # [B,H,T,T] materialization).  0 = always use the kernel.
     attn_min_t: int = 0
+    # XLA-path layout (the short-T side of the dispatch):
+    # - "split": round-4 form — split qkv, reshape to [B,T,H,D], rope via
+    #   the concat formulation, einsums that transpose each of q/k/v
+    #   separately (the 3.1 ms/step of copy-done events in the r4 trace).
+    # - "packed": one [B,T,3,H,D] -> [3,B,H,T,D] transpose moves all three
+    #   tensors in a single copy; rope is the x@R rotation-matmul (an MXU
+    #   op instead of a concat copy); the mask is an additive bias (fuses
+    #   into the softmax instead of a materialized select); the einsums
+    #   are head-major-native so XLA inserts no further layout copies.
+    #   Identical math (rotation == concat formulation; additive -1e30 ==
+    #   select under softmax, grads included).
+    attn_impl: str = "split"
 
     @nn.compact
     def __call__(self, x, mask_b_t, train: bool, rope_cs=None):
@@ -99,10 +111,6 @@ class MHSA(nn.Module):
         Dh = self.dim // H
         h = nn.LayerNorm(dtype=self.dtype)(x)
         qkv = _dense(3 * self.dim, "qkv", ("embed", "heads"), self.dtype)(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, T, H, Dh)
-        k = k.reshape(B, T, H, Dh)
-        v = v.reshape(B, T, H, Dh)
         # Rope tables are hoisted to the encoder (computed once per bucket
         # program, shared by all blocks); standalone use derives them here.
         cos, sin = rope_cs if rope_cs is not None else rope_tables(T, Dh)
@@ -113,6 +121,10 @@ class MHSA(nn.Module):
                 flash_attention_rope,
             )
 
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, T, H, Dh)
+            k = k.reshape(B, T, H, Dh)
+            v = v.reshape(B, T, H, Dh)
             # Rope is applied INSIDE the kernel (fwd: rope(q/k); bwd:
             # inverse rotation on dq/dk) — roped q/k never reach HBM.
             attn_fn = (
@@ -121,7 +133,39 @@ class MHSA(nn.Module):
                 else flash_attention_local_rope
             )
             out = attn_fn(q, k, v, mask_b_t, cos, sin)
+        elif self.attn_impl == "packed":
+            from ..ops.pallas_attention import _rot_mat
+
+            # One layout transition for q, k, v together.
+            qkv5 = qkv.reshape(B, T, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv5[0], qkv5[1], qkv5[2]  # [B, H, T, Dh]
+            R = _rot_mat(Dh)  # rot_half as a constant [Dh, Dh] rotation
+            cb = cos[None, None]
+            sb = sin[None, None]
+
+            def rope_bhtd(t):
+                # t @ R is a signed permutation — exact in any dtype, so
+                # the rotation matmul runs in the compute dtype while the
+                # cos/sin combine stays f32 (matches apply_rope exactly).
+                rot = t @ R.astype(t.dtype)
+                tf = t.astype(jnp.float32)
+                return (tf * cb + rot.astype(jnp.float32) * sb).astype(
+                    t.dtype
+                )
+
+            q = rope_bhtd(q)
+            k = rope_bhtd(k)
+            scale = 1.0 / jnp.sqrt(Dh).astype(q.dtype)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+            neg = jnp.asarray(-1e30, dtype=logits.dtype)
+            bias = jnp.where(mask_b_t, 0.0, neg)[:, None, None, :]
+            attn = jax.nn.softmax(logits + bias, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bqhd", attn, v)
         else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, T, H, Dh)
+            k = k.reshape(B, T, H, Dh)
+            v = v.reshape(B, T, H, Dh)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             scale = 1.0 / jnp.sqrt(Dh).astype(q.dtype)
@@ -140,14 +184,75 @@ class MHSA(nn.Module):
         return nn.Dropout(self.dropout, deterministic=not train)(out)
 
 
+class _ParamBank(nn.Module):
+    """Creates parameters with the exact names/shapes/inits a flax
+    submodule would, WITHOUT instantiating its compute — so a fused-kernel
+    path keeps the identical parameter tree (same checkpoint layout, same
+    per-path init RNG folding, same logical-axis sharding metadata) as the
+    XLA path it replaces."""
+
+    specs: tuple  # of (param_name, shape, init_fn)
+
+    @nn.compact
+    def __call__(self):
+        return tuple(self.param(n, f, s) for n, s, f in self.specs)
+
+
 class ConvModule(nn.Module):
     dim: int
     kernel: int = 15
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    # "xla": the flax chain below (mesh-sharded via logical axes).
+    # "pallas": the fused single-kernel chain (ops/pallas_conv.py) — every
+    # intermediate stays in VMEM; single-device surface (the XLA path
+    # remains the implementation under sharded meshes).  Parameter trees
+    # are identical between the two (see _ParamBank).
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask_b_t, train: bool):
+        if self.impl == "pallas":
+            d, K = self.dim, self.kernel
+            glorot = nn.initializers.glorot_uniform()
+            ones, zeros = nn.initializers.ones, nn.initializers.zeros
+            g1, b1 = _ParamBank(
+                (("scale", (d,), ones), ("bias", (d,), zeros)),
+                name="LayerNorm_0",
+            )()
+            win, bin_ = _ParamBank(
+                (
+                    ("kernel", (d, 2 * d),
+                     nn.with_logical_partitioning(glorot, ("embed", "ff"))),
+                    ("bias", (2 * d,), zeros),
+                ),
+                name="pw_in",
+            )()
+            wdw, bdw = _ParamBank(
+                (
+                    ("kernel", (K, 1, d), nn.initializers.lecun_normal()),
+                    ("bias", (d,), zeros),
+                ),
+                name="dw",
+            )()
+            g2, b2 = _ParamBank(
+                (("scale", (d,), ones), ("bias", (d,), zeros)), name="norm"
+            )()
+            wout, bout = _ParamBank(
+                (
+                    ("kernel", (d, d),
+                     nn.with_logical_partitioning(zeros, ("ff", "embed"))),
+                    ("bias", (d,), zeros),
+                ),
+                name="pw_out",
+            )()
+            from ..ops.pallas_conv import fused_conv_module
+
+            h = fused_conv_module(
+                x.astype(self.dtype), mask_b_t, g1, b1, win, bin_,
+                wdw.reshape(K, d), bdw, g2, b2, wout, bout,
+            )
+            return nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = _dense(2 * self.dim, "pw_in", ("embed", "ff"), self.dtype)(h)
         h = nn.glu(h, axis=-1)
@@ -177,6 +282,8 @@ class ConformerBlock(nn.Module):
     partition_attention: bool = True
     dtype: Dtype = jnp.float32
     attn_min_t: int = 0
+    attn_impl: str = "split"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask_b_t, train: bool, rope_cs=None):
@@ -191,10 +298,12 @@ class ConformerBlock(nn.Module):
             self.partition_attention,
             self.dtype,
             attn_min_t=self.attn_min_t,
+            attn_impl=self.attn_impl,
             name="mhsa",
         )(x, mask_b_t, train, rope_cs=rope_cs)
         x = x + ConvModule(
-            self.dim, self.conv_kernel, self.dropout, self.dtype, name="conv"
+            self.dim, self.conv_kernel, self.dropout, self.dtype,
+            impl=self.conv_impl, name="conv"
         )(x, mask_b_t, train)
         x = x + 0.5 * FeedForward(
             self.dim, self.ff_mult, self.dropout, self.dtype, name="ff2"
@@ -213,6 +322,8 @@ class ConformerEncoder(nn.Module):
     partition_attention: bool = True
     dtype: Dtype = jnp.float32
     attn_min_t: int = 0
+    attn_impl: str = "split"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, lens, train: bool = False):
@@ -236,6 +347,8 @@ class ConformerEncoder(nn.Module):
                 self.partition_attention,
                 self.dtype,
                 attn_min_t=self.attn_min_t,
+                attn_impl=self.attn_impl,
+                conv_impl=self.conv_impl,
                 name=f"block_{i}",
             )(x, mask_b_t, train, rope_cs=rope_cs)
         return x * mask_b_t[:, :, None].astype(x.dtype)

