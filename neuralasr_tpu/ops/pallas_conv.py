@@ -226,19 +226,22 @@ def _bwd_kernel(len_ref, x_ref, dy_ref, g1_ref, b1_ref, win_ref, bin_ref,
 
 # ---------------- plans ----------------
 
-_VMEM_BUDGET = 10 * 1024 * 1024
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _working_set(Gb: int, T: int, d: int, itemsize: int, bwd: bool) -> int:
-    """Conservative per-program VMEM charge: f32 intermediates per unrolled
-    row (Mosaic may not reuse across the static unroll — ADVICE r3), weight
-    blocks (constant index maps: single-buffered), x/y blocks
-    double-buffered."""
+    """Per-program VMEM charge.  The f32 [T, d] intermediates are charged
+    at the PEAK LIVE set (~8 rows fwd / ~14 rows bwd counting the 2d-wide
+    GLU input as two rows), not one slot per SSA value — the chain is
+    strictly sequential, so Mosaic reuses dead buffers (the r4 attention
+    kernels validated the same style of accounting on silicon; charging
+    every value would push even Gb=1 bf16 headline shapes past any
+    budget and silently route everything to the fallback).  Weights are
+    charged at f32 (param storage dtype) with constant index maps
+    (single-buffered); x/dy/dx blocks double-buffered."""
     row_f32 = T * d * 4
-    # fwd: xf, h0+cast, h1 (2d wide = 2 rows), glu pieces ~2, hp, acc/h4,
-    # h5/h6 ~2, y  -> ~10 row-equivalents.  bwd recompute + cotangents ~22.
-    inter = (22 if bwd else 10) * row_f32 * Gb
-    weights = (d * 2 * d + d * d + (16 + 8) * d) * itemsize
+    inter = (14 if bwd else 8) * row_f32 * Gb
+    weights = (d * 2 * d + d * d + (16 + 8) * d) * 4
     dweights = (d * 2 * d + d * d + (16 + 8) * d) * 4 if bwd else 0
     blocks = Gb * T * d * itemsize * 2 * (3 if bwd else 2)  # x, dy, dx/y
     return inter + weights + dweights + blocks
