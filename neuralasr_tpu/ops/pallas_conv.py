@@ -249,7 +249,20 @@ def _working_set(Gb: int, T: int, d: int, itemsize: int, bwd: bool) -> int:
 
 def _conv_plan(B: int, T: int, d: int, itemsize: int):
     """Largest Gb dividing B whose BACKWARD working set fits; None when
-    nothing fits (caller falls back to the jnp reference)."""
+    nothing fits (caller falls back to the jnp reference).
+
+    NEURALASR_CONV_GB overrides the choice (measurement experiments: the
+    r5 trace showed Gb=1 at the headline shape costs ~1500 grid programs
+    per step across the 24 per-layer calls — dispatch-bound exactly like
+    r3's G=1 attention; the override lets the campaign probe larger folds
+    against the conservative VMEM charge, preflight catching any
+    over-VMEM Mosaic failure on silicon)."""
+    import os
+
+    force = os.environ.get("NEURALASR_CONV_GB")
+    if force:
+        gb = int(force)
+        return gb if gb > 0 and B % gb == 0 else None
     for Gb in (8, 4, 2, 1):
         if B % Gb:
             continue
@@ -334,8 +347,12 @@ def _backward_pallas(x, lens, params, dy, Gb, interpret):
         grid_spec=grid_spec,
         out_shape=shapes,
         interpret=interpret,
+        # flops = 2x forward, matching XLA's backward-counting convention
+        # so step-level mfu stays comparable across conv_impl (the
+        # recompute inside the kernel is real work but XLA would not
+        # count it either under remat).
         cost_estimate=pl.CostEstimate(
-            flops=6 * B * T * d * (2 * d + d + K),
+            flops=4 * B * T * d * (2 * d + d + K),
             bytes_accessed=4 * B * T * d * x.dtype.itemsize,
             transcendentals=6 * B * T * d,
         ),
