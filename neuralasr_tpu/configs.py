@@ -212,6 +212,12 @@ CONFIG5 = _register(
             conv_subsample=True,
             conv_out_dim=384,
             use_pallas_attention=True,
+            # Fused Pallas conv module (ops/pallas_conv.py): measured +3 %
+            # step throughput over the XLA chain at the headline point
+            # (campaign r5a, BASELINE.md r5), mesh-safe via batch-axis
+            # custom_partitioning.  attn_impl="packed" is the ModelConfig
+            # default since round 5.
+            conv_impl="pallas",
         ),
         features=_feat_logmel(),
         synth_char_ms=120.0,

@@ -50,9 +50,16 @@ class ModelConfig:
     # the round-4 per-tensor-transpose form; "packed" = one
     # [B,T,3,H,D]->[3,B,H,T,D] transpose for q/k/v together, rotation-
     # matmul rope, additive mask — same math, fewer layout copies.
-    attn_impl: str = "split"
-    # Conformer conv module: "xla" flax chain (mesh-sharded) or "pallas"
-    # fused single-kernel chain (ops/pallas_conv.py; single-device).
+    # "packed" is the default since round 5: measured +2.4 % step
+    # throughput and +6 % beam decode at the headline point (campaign
+    # r5a: 12,765 vs 12,469 audio-s/s; BASELINE.md r5).
+    attn_impl: str = "packed"
+    # Conformer conv module: "xla" flax chain or "pallas" fused
+    # single-kernel chain (ops/pallas_conv.py; mesh-safe via batch-axis
+    # custom_partitioning — weight grads psum'd).  Presets flip config 5
+    # to "pallas" (measured +3 % step throughput, campaign r5a); the
+    # global default stays "xla" because off-TPU the kernel runs in
+    # interpret mode (tests/CPU paths pay it only where opted in).
     conv_impl: str = "xla"
     dtype: Any = jnp.float32
     # LSTM recurrence unroll: higher amortizes loop overhead but multiplies

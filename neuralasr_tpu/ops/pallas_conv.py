@@ -247,26 +247,33 @@ def _working_set(Gb: int, T: int, d: int, itemsize: int, bwd: bool) -> int:
     return inter + weights + dweights + blocks
 
 
-def _conv_plan(B: int, T: int, d: int, itemsize: int):
-    """Largest Gb dividing B whose BACKWARD working set fits; None when
-    nothing fits (caller falls back to the jnp reference).
+def _conv_plan(B: int, T: int, d: int, itemsize: int, bwd: bool = True):
+    """Largest Gb dividing B whose working set fits; None when nothing
+    fits (caller falls back to the jnp reference).  Forward and backward
+    plan INDEPENDENTLY (round 5): the forward's peak live set is ~8 f32
+    rows per batch row vs the backward's ~14, so the forward can fold
+    more rows per grid program — and the r5a trace showed the Gb=1 kernel
+    is dispatch-bound (~1500 grid programs/step across the 24 per-layer
+    calls, the same disease as r3's G=1 attention).  Parity is invariant
+    to Gb (tests/test_pallas_conv.py), so the split is purely a
+    dispatch-economics choice.
 
-    NEURALASR_CONV_GB overrides the choice (measurement experiments: the
-    r5 trace showed Gb=1 at the headline shape costs ~1500 grid programs
-    per step across the 24 per-layer calls — dispatch-bound exactly like
-    r3's G=1 attention; the override lets the campaign probe larger folds
-    against the conservative VMEM charge, preflight catching any
-    over-VMEM Mosaic failure on silicon)."""
+    NEURALASR_CONV_GB / NEURALASR_CONV_GB_FWD / NEURALASR_CONV_GB_BWD
+    override (measurement campaigns probe folds beyond the conservative
+    VMEM charge; preflight catches any over-VMEM Mosaic failure on
+    silicon before a bench row rides the setting)."""
     import os
 
-    force = os.environ.get("NEURALASR_CONV_GB")
+    force = os.environ.get(
+        "NEURALASR_CONV_GB_BWD" if bwd else "NEURALASR_CONV_GB_FWD"
+    ) or os.environ.get("NEURALASR_CONV_GB")
     if force:
         gb = int(force)
         return gb if gb > 0 and B % gb == 0 else None
     for Gb in (8, 4, 2, 1):
         if B % Gb:
             continue
-        if _working_set(Gb, T, d, itemsize, bwd=True) <= _VMEM_BUDGET:
+        if _working_set(Gb, T, d, itemsize, bwd=bwd) <= _VMEM_BUDGET:
             return Gb
     return None
 
@@ -359,6 +366,121 @@ def _backward_pallas(x, lens, params, dy, Gb, interpret):
     )(lens, x, dy, *params)
 
 
+# ---------------- GSPMD partitioning (batch axis) ----------------
+#
+# A bare pallas_call is opaque to GSPMD, so the fwd/bwd calls are wrapped
+# in batch-axis custom_partitioning (the round-4 streaming-CTC pattern,
+# ops/pallas_ctc.py): every batch row is independent through the whole
+# chain (LN/matmuls mix only the feature dim, the depthwise conv only the
+# time dim), so each shard runs the kernel on its local rows; the
+# backward's weight gradients are per-shard partial sums, psum'd over the
+# batch axis inside the partitioned lowering.  Non-batch dims (t/d/e/k/f)
+# are declared replication-required.
+
+
+def _fwd_impl(x, lens, *params):
+    Gb = _conv_plan(
+        x.shape[0], x.shape[1], x.shape[2], x.dtype.itemsize, bwd=False
+    )
+    if Gb is None:  # forced/odd local batch: jnp reference, same math
+        return _conv_ref(x, lens, *params)
+    interpret = jax.default_backend() != "tpu"
+    return _forward_pallas(x, lens, params, Gb, interpret)
+
+
+def _bwd_impl(x, lens, dy, *params):
+    Gb = _conv_plan(x.shape[0], x.shape[1], x.shape[2], x.dtype.itemsize)
+    if Gb is None:
+        _, vjp = jax.vjp(lambda xx, *pp: _conv_ref(xx, lens, *pp), x, *params)
+        dx, *dps = vjp(dy.astype(x.dtype))
+        return (dx, *[g.astype(jnp.float32) for g in dps])
+    interpret = jax.default_backend() != "tpu"
+    return tuple(
+        _backward_pallas(x, lens, params, dy.astype(x.dtype), Gb, interpret)
+    )
+
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _batch_axis(arg_shapes):
+    spec = arg_shapes[0].sharding.spec  # x [B, T, d]
+    return spec[0] if len(spec) else None
+
+
+_CONV_FACTORS = "u d, u d, d e, u e, k d, u d, u d, u d, d f, u f"
+
+
+def _fwd_partition(mesh, arg_shapes, result_shape):
+    b = _batch_axis(arg_shapes)
+    xs = NamedSharding(mesh, P(b, None, None))
+    ls = NamedSharding(mesh, P(b))
+    rep = NamedSharding(mesh, P(None, None))
+
+    def lower_fn(x, lens, *params):
+        return _fwd_impl(x, lens, *params)
+
+    return mesh, lower_fn, xs, (xs, ls) + (rep,) * 10
+
+
+@custom_partitioning
+def _conv_fwd_p(x, lens, g1, b1, win, bin_, wdw, bdw, g2, b2, wout, bout):
+    return _fwd_impl(x, lens, g1, b1, win, bin_, wdw, bdw, g2, b2, wout,
+                     bout)
+
+
+_conv_fwd_p.def_partition(
+    partition=_fwd_partition,
+    infer_sharding_from_operands=lambda mesh, arg_shapes, result_shape: (
+        NamedSharding(mesh, P(_batch_axis(arg_shapes), None, None))
+    ),
+    # need_replication order = first-appearance order in the rule string
+    # (Shardy requires sorted special-factor indices).
+    sharding_rule=f"b t d, b, {_CONV_FACTORS} -> b t f",
+    need_replication_factors=("t", "d", "u", "e", "k", "f"),
+)
+
+
+def _bwd_partition(mesh, arg_shapes, result_shape):
+    b = _batch_axis(arg_shapes)
+    xs = NamedSharding(mesh, P(b, None, None))
+    ls = NamedSharding(mesh, P(b))
+    rep = NamedSharding(mesh, P(None, None))
+
+    def lower_fn(x, lens, dy, *params):
+        outs = _bwd_impl(x, lens, dy, *params)
+        if b is not None:  # weight grads: sum the per-shard partials
+            outs = (outs[0],) + tuple(
+                jax.lax.psum(o, b) for o in outs[1:]
+            )
+        return outs
+
+    return mesh, lower_fn, (xs,) + (rep,) * 10, (xs, ls, xs) + (rep,) * 10
+
+
+@custom_partitioning
+def _conv_bwd_p(x, lens, dy, g1, b1, win, bin_, wdw, bdw, g2, b2, wout,
+                bout):
+    return _bwd_impl(x, lens, dy, g1, b1, win, bin_, wdw, bdw, g2, b2,
+                     wout, bout)
+
+
+_conv_bwd_p.def_partition(
+    partition=_bwd_partition,
+    infer_sharding_from_operands=lambda mesh, arg_shapes, result_shape: (
+        lambda b: tuple(
+            [NamedSharding(mesh, P(b, None, None))]
+            + [NamedSharding(mesh, P(None, None))] * 10
+        )
+    )(_batch_axis(arg_shapes)),
+    sharding_rule=(
+        f"b t d, b, b t f, {_CONV_FACTORS} -> b t d, {_CONV_FACTORS}"
+    ),
+    need_replication_factors=("t", "d", "f", "u", "e", "k"),
+)
+
+
 # ---------------- public surface ----------------
 
 
@@ -370,11 +492,9 @@ def _as_lens(mask_or_lens):
 
 @jax.custom_vjp
 def _fused(x, lens, g1, b1, win, bin_, wdw, bdw, g2, b2, wout, bout):
-    Gb = _conv_plan(x.shape[0], x.shape[1], x.shape[2], x.dtype.itemsize)
-    interpret = jax.default_backend() != "tpu"
     params = (_vec2(g1), _vec2(b1), win, _vec2(bin_), wdw, _vec2(bdw),
               _vec2(g2), _vec2(b2), wout, _vec2(bout))
-    return _forward_pallas(x, lens, params, Gb, interpret)
+    return _conv_fwd_p(x, lens, *params)
 
 
 def _fused_fwd(x, lens, g1, b1, win, bin_, wdw, bdw, g2, b2, wout, bout):
@@ -384,12 +504,9 @@ def _fused_fwd(x, lens, g1, b1, win, bin_, wdw, bdw, g2, b2, wout, bout):
 
 def _fused_bwd(res, dy):
     x, lens, g1, b1, win, bin_, wdw, bdw, g2, b2, wout, bout = res
-    Gb = _conv_plan(x.shape[0], x.shape[1], x.shape[2], x.dtype.itemsize)
-    interpret = jax.default_backend() != "tpu"
     params = (_vec2(g1), _vec2(b1), win, _vec2(bin_), wdw, _vec2(bdw),
               _vec2(g2), _vec2(b2), wout, _vec2(bout))
-    outs = _backward_pallas(x, lens, params, dy.astype(x.dtype), Gb,
-                            interpret)
+    outs = _conv_bwd_p(x, lens, dy.astype(x.dtype), *params)
     (dx, dg1, db1, dwin, dbin, dwdw, dbdw, dg2, db2, dwout, dbout) = outs
     cast = lambda t, p: t.reshape(p.shape).astype(p.dtype)
     return (dx, None, cast(dg1, g1), cast(db1, b1), cast(dwin, win),
@@ -406,10 +523,18 @@ def fused_conv_module(x, mask_or_lens, g1, b1, win, bin_, wdw, bdw, g2, b2,
     """Fused Conformer conv module: x [B,T,d] (compute dtype) -> [B,T,d].
     wdw is [K, d] (the flax [K,1,d] depthwise kernel squeezed).  Falls back
     to the jnp reference when the working set exceeds the VMEM budget.
-    Single-device surface (a bare pallas_call is opaque to GSPMD); the
-    XLA ConvModule path remains the mesh-sharded implementation."""
+    Mesh-safe: fwd and bwd are batch-axis custom_partitioned (each shard
+    runs the kernel on its local rows; weight grads psum'd over the batch
+    axis — tests/distributed_checks.py::check_conv_pallas_under_mesh).
+    Weights themselves are replicated by the partition spec; under a
+    'model'-sharded mesh GSPMD inserts the gather, so the XLA path remains
+    the better choice when the ENCODER WEIGHTS are what's sharded."""
     lens = _as_lens(mask_or_lens)
-    if _conv_plan(x.shape[0], x.shape[1], x.shape[2], x.dtype.itemsize) is None:
+    B, T, d = x.shape
+    if (
+        _conv_plan(B, T, d, x.dtype.itemsize, bwd=False) is None
+        or _conv_plan(B, T, d, x.dtype.itemsize, bwd=True) is None
+    ):
         return _conv_ref(x, lens, g1, b1, win, bin_, wdw, bdw, g2, b2,
                          wout, bout)
     return _fused(x, lens, g1, b1, win, bin_, wdw, bdw, g2, b2, wout, bout)

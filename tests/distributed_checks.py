@@ -165,6 +165,47 @@ def check_ctc_stream_under_mesh():
     print("ok ctc_stream_under_mesh")
 
 
+def check_conv_pallas_under_mesh():
+    """Round 5: the fused conv-module kernel is custom_partitioned over
+    the batch (weight grads psum'd inside the partitioned backward) —
+    loss and EVERY grad under an 8-device 'data' mesh must equal the
+    single-device jnp reference."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neuralasr_tpu.ops.pallas_conv import _conv_ref, fused_conv_module
+
+    rng = np.random.default_rng(11)
+    B, T, d, K = 16, 24, 256, 15
+    x = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(8, T + 1, size=(B,)), jnp.int32)
+    params = [
+        jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+        for s in [(d,), (d,), (d, 2 * d), (2 * d,), (K, d), (d,), (d,),
+                  (d,), (d, d), (d,)]
+    ]
+
+    def loss(fn, x, *ps):
+        return (fn(x, lens, *ps) ** 2).sum()
+
+    want_v, want_g = jax.value_and_grad(
+        lambda *a: loss(_conv_ref, *a), argnums=tuple(range(11))
+    )(x, *params)
+
+    mesh = make_mesh(8)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    got_v, got_g = jax.jit(
+        jax.value_and_grad(
+            lambda *a: loss(fused_conv_module, *a), argnums=tuple(range(11))
+        )
+    )(x_sh, *params)
+    np.testing.assert_allclose(float(want_v), float(got_v), rtol=2e-4)
+    for w, g in zip(want_g, got_g):
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(g), rtol=2e-3, atol=2e-4
+        )
+    print("ok conv_pallas_under_mesh")
+
+
 def check_loader_host_invariance():
     corpus = SyntheticCorpus(24, seed=3)
     buckets = default_buckets(8)
@@ -290,6 +331,7 @@ if __name__ == "__main__":
     check_tp_matches_unsharded()
     check_tp_xla_attention_matches_unsharded()
     check_ctc_stream_under_mesh()
+    check_conv_pallas_under_mesh()
     check_beam_under_mesh()
     check_resharding_restore()
     check_dryrun()
