@@ -189,3 +189,53 @@ def test_attn_packed_param_tree_identical():
     p1 = split.init(jax.random.PRNGKey(3), x, mask, False)["params"]
     p2 = packed.init(jax.random.PRNGKey(3), x, mask, False)["params"]
     assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+
+
+def test_split_fwd_bwd_plans_and_forced_folds(monkeypatch):
+    """Round 5: forward and backward fold plans are independent (the
+    forward's ~8-row live set admits larger Gb than the backward's ~14),
+    and parity is invariant to the fold — including asymmetric forced
+    combos like the campaign probe runs."""
+    # Plan logic: at the headline-ish shape the forward folds at least as
+    # much as the backward.
+    fwd = pc._conv_plan(64, 240, 384, 2, bwd=False)
+    bwd = pc._conv_plan(64, 240, 384, 2, bwd=True)
+    assert fwd is not None and bwd is not None and fwd >= bwd
+    # Env overrides route to the right side.
+    monkeypatch.setenv("NEURALASR_CONV_GB_FWD", "4")
+    monkeypatch.setenv("NEURALASR_CONV_GB_BWD", "2")
+    assert pc._conv_plan(8, 48, 384, 4, bwd=False) == 4
+    assert pc._conv_plan(8, 48, 384, 4, bwd=True) == 2
+
+    # Parity under the asymmetric forced fold (interpret mode).
+    x, _, mask = _inputs(B=8, T=40)
+    xla, fused = _modules(jnp.float32)
+    params = xla.init(jax.random.PRNGKey(5), x, mask, False)["params"]
+    g = jnp.asarray(
+        np.random.default_rng(6).normal(size=x.shape).astype(np.float32)
+    )
+
+    def grads(mod):
+        def f(p, xx):
+            out = mod.apply({"params": p}, xx, mask, False)
+            return (out * g).sum()
+
+        return jax.grad(f, argnums=(0, 1))(params, x)
+
+    jax.clear_caches()  # Gb is read at trace time
+    gp_want, gx_want = grads(xla)
+    gp_got, gx_got = grads(fused)
+    np.testing.assert_allclose(
+        np.asarray(gx_got), np.asarray(gx_want), rtol=2e-4, atol=2e-4
+    )
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gp_want)[0],
+        jax.tree_util.tree_flatten_with_path(gp_got)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4,
+            err_msg=str(k),
+        )
+    monkeypatch.delenv("NEURALASR_CONV_GB_FWD")
+    monkeypatch.delenv("NEURALASR_CONV_GB_BWD")
+    jax.clear_caches()
