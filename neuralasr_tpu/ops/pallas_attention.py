@@ -42,6 +42,8 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from . import runtime
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -199,7 +201,7 @@ def _forward(q, k, v, lens, cos, sin, block_q: int = 128,
              interpret: bool | None = None):
     B, T, H, D = q.shape
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not runtime.on_tpu()
     bq = min(block_q, T)
     # Fold heads into the grid's batch dim: [B,T,H,D] -> [B*H,T,D] so every
     # block's trailing dims are (time, head_dim) — the TPU-tileable layout.
@@ -462,7 +464,7 @@ def _bwd_plan(BH: int, T: int, D: int, itemsize: int):
 def _backward_pallas(q, k, v, lens, cos, sin, g, interpret: bool | None = None):
     B, T, H, D = q.shape
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not runtime.on_tpu()
     plan = _bwd_plan(B * H, T, D, q.dtype.itemsize)
     assert plan is not None, "caller must check _bwd_plan before lowering"
     G, bq = plan

@@ -30,6 +30,8 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from . import runtime
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -384,7 +386,7 @@ def _fwd_impl(x, lens, *params):
     )
     if Gb is None:  # forced/odd local batch: jnp reference, same math
         return _conv_ref(x, lens, *params)
-    interpret = jax.default_backend() != "tpu"
+    interpret = not runtime.on_tpu()
     return _forward_pallas(x, lens, params, Gb, interpret)
 
 
@@ -394,7 +396,7 @@ def _bwd_impl(x, lens, dy, *params):
         _, vjp = jax.vjp(lambda xx, *pp: _conv_ref(xx, lens, *pp), x, *params)
         dx, *dps = vjp(dy.astype(x.dtype))
         return (dx, *[g.astype(jnp.float32) for g in dps])
-    interpret = jax.default_backend() != "tpu"
+    interpret = not runtime.on_tpu()
     return tuple(
         _backward_pallas(x, lens, params, dy.astype(x.dtype), Gb, interpret)
     )

@@ -35,6 +35,8 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from . import runtime
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -144,7 +146,7 @@ def ctc_alpha_forward(
     K = min(steps_per_block, T)
     lp_p, T_pad = _pad_time(lp, K)
     nb = T_pad // K
-    interpret = jax.default_backend() != "tpu"
+    interpret = not runtime.on_tpu()
     full = lambda shape: pl.BlockSpec(
         shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
     )
@@ -314,7 +316,7 @@ def _alpha_stream_impl(
         state_valid.astype(jnp.float32), ((0, 0), (0, Sp - S))
     )
     nb = T_pad // Kb
-    interpret = jax.default_backend() != "tpu"
+    interpret = not runtime.on_tpu()
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     ll, alphas = pl.pallas_call(
         functools.partial(
@@ -483,7 +485,7 @@ def _beta_stream_impl(
     state_valid = jnp.pad(
         state_valid.astype(jnp.float32), ((0, 0), (0, Sp - S))
     )
-    interpret = jax.default_backend() != "tpu"
+    interpret = not runtime.on_tpu()
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         functools.partial(_beta_stream_kernel, V=V, Kb=Kb, nb=nb, T=T),
@@ -591,7 +593,7 @@ def ctc_beta_occupancy(
     skip_out = jnp.concatenate(
         [allow_skip[:, 2:], jnp.zeros((B, 2), allow_skip.dtype)], axis=1
     )
-    interpret = jax.default_backend() != "tpu"
+    interpret = not runtime.on_tpu()
     full = lambda shape: pl.BlockSpec(
         shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
     )

@@ -31,6 +31,8 @@ import functools
 
 import numpy as np
 import jax
+
+from . import runtime
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -88,7 +90,7 @@ def fused_frontend(
 ) -> jnp.ndarray:
     """[NF, frame_len] frames -> [NF, F_out] features, one fused kernel."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not runtime.on_tpu()
     NF, FL = frames.shape
     F_out = post.shape[1]
     bf = min(block_frames, NF)
@@ -205,7 +207,7 @@ def fused_frontend_framed(
     """[B, N] waveform -> [B, max_frames, F_out] features, one fused kernel
     including the framing itself (frame i = y[i*hop : i*hop+frame_len])."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not runtime.on_tpu()
     B, N = y.shape
     F_out = post.shape[1]
     k = -(-frame_len // hop)  # rows of the hop grid a frame spans

@@ -25,6 +25,7 @@ from .data import BucketedLoader, SyntheticCorpus, Batch
 from .data.buckets import default_buckets
 from .features import make_frontend, num_frames
 from .models.encoder import CTCModel
+from .ops import runtime
 from .parallel.mesh import (
     make_mesh,
     data_sharding,
@@ -150,6 +151,14 @@ class Trainer:
         mutating trainer.cfg/model after construction was order-fragile)."""
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(model_axis=cfg.model_axis)
+        # Pin the Pallas kernels' Mosaic-vs-interpret decision to the
+        # platform of the devices this trainer will actually compile for.
+        # default_backend() is wrong in one real case: a TPU-registered
+        # process (axon sitecustomize) driving a fake-CPU mesh — there the
+        # kernels would pick Mosaic and CPU lowering fails (ops/runtime.py).
+        runtime.set_compute_platform(
+            next(iter(self.mesh.devices.flat)).platform
+        )
         if (
             self.mesh.size == 1
             and cfg.model.partition_attention
