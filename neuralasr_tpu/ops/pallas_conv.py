@@ -238,11 +238,22 @@ def _working_set(Gb: int, T: int, d: int, itemsize: int, bwd: bool) -> int:
     strictly sequential, so Mosaic reuses dead buffers (the r4 attention
     kernels validated the same style of accounting on silicon; charging
     every value would push even Gb=1 bf16 headline shapes past any
-    budget and silently route everything to the fallback).  Weights are
-    charged at f32 (param storage dtype) with constant index maps
-    (single-buffered); x/dy/dx blocks double-buffered."""
+    budget and silently route everything to the fallback).
+
+    FORWARD intermediates are additionally charged Gb-INDEPENDENTLY
+    (round-5 campaign C): the unrolled per-row chains are themselves
+    sequential — row g+1's intermediates allocate only after row g's are
+    dead — and silicon proves the reuse: the Gb=8 forward at the headline
+    shape (which the ×Gb model charges at ~31 MB, double physical VMEM)
+    compiles and passes parity (runs/conv_gb_probe_r5.json).  The
+    BACKWARD keeps the conservative ×Gb charge as a deliberate choice:
+    its live set interleaves with the dweight accumulators, and the
+    measured bwd=2 step rows showed no win over bwd=1 (same probe), so
+    there is nothing to buy by loosening it.  Weights are charged at f32
+    (param storage dtype) with constant index maps (single-buffered);
+    x/dy/dx blocks double-buffered."""
     row_f32 = T * d * 4
-    inter = (14 if bwd else 8) * row_f32 * Gb
+    inter = 14 * row_f32 * Gb if bwd else 8 * row_f32
     weights = (d * 2 * d + d * d + (16 + 8) * d) * 4
     dweights = (d * 2 * d + d * d + (16 + 8) * d) * 4 if bwd else 0
     blocks = Gb * T * d * itemsize * 2 * (3 if bwd else 2)  # x, dy, dx/y

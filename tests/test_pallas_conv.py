@@ -201,6 +201,13 @@ def test_split_fwd_bwd_plans_and_forced_folds(monkeypatch):
     fwd = pc._conv_plan(64, 240, 384, 2, bwd=False)
     bwd = pc._conv_plan(64, 240, 384, 2, bwd=True)
     assert fwd is not None and bwd is not None and fwd >= bwd
+    # Headline-bucket plan pins (campaign C, runs/conv_gb_probe_r5.json):
+    # the forward's Gb-independent intermediate charge admits the full
+    # Gb=8 fold (silicon-proven); the backward stays at 1 under its
+    # conservative ×Gb charge.
+    assert fwd == 8 and bwd == 1
+    # f32 doubles the block traffic: the forward plan must shrink.
+    assert pc._conv_plan(64, 240, 384, 4, bwd=False) == 4
     # Env overrides route to the right side.
     monkeypatch.setenv("NEURALASR_CONV_GB_FWD", "4")
     monkeypatch.setenv("NEURALASR_CONV_GB_BWD", "2")
