@@ -37,7 +37,10 @@ def main() -> None:
     p.add_argument("--blank-collapse", type=float, default=None,
                    metavar="THRESH",
                    help="drop frames with blank posterior > THRESH before "
-                        "beam search (arXiv 2210.17017; e.g. 0.999)")
+                        "beam search (arXiv 2210.17017; e.g. 0.999); "
+                        "default: the preset's eval_blank_collapse")
+    p.add_argument("--no-blank-collapse", action="store_true",
+                   help="force collapse off, overriding the preset default")
     p.add_argument("--eval-noise", type=float, default=None,
                    help="override the eval split's additive-noise floor "
                         "(preset eval_noise_level; train noise is 0.05)")
@@ -111,6 +114,11 @@ def main() -> None:
         )
         lm_fn, lm_weight = lm.score_fn(), cfg.lm_weight
 
+    collapse = (
+        None if args.no_blank_collapse
+        else args.blank_collapse if args.blank_collapse is not None
+        else cfg.eval_blank_collapse
+    )
     res = evaluate_corpus(
         trainer,
         eval_corpus,
@@ -118,7 +126,7 @@ def main() -> None:
         beam_width=beam_width,
         lm_fn=lm_fn,
         lm_weight=lm_weight,
-        blank_collapse_threshold=args.blank_collapse,
+        blank_collapse_threshold=collapse,
     )
 
     out = {
@@ -127,6 +135,7 @@ def main() -> None:
         "eval_noise": cfg.eval_noise_level,
         "eval_shift_hz": cfg.eval_formant_shift_hz,
         "eval_seed_offset": args.eval_seed_offset,
+        "blank_collapse": collapse,
         **res.to_dict(),
     }
     if res.beam_wer is not None:

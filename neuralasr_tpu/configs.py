@@ -59,6 +59,12 @@ class TrainConfig:
     eval_utts: int = 0  # 0 -> max(num_utterances // 8, 16)
     eval_noise_level: Optional[float] = None  # None -> train noise (0.05)
     eval_formant_shift_hz: float = 0.0
+    # Default blank-collapse threshold for beam-search EVALUATION (arXiv
+    # 2210.17017 frame compression; None = off).  Flipped on only where
+    # the ladder's paired collapse evals show WER equality — the <30 ms
+    # beam decode target rides the 0.999 crop (BASELINE.md r5);
+    # evaluate.py --blank-collapse / --no-blank-collapse override.
+    eval_blank_collapse: Optional[float] = None
     # CTC loss implementation: "scan" (XLA lax.scan recursions) or "pallas"
     # (single-kernel VMEM-resident recursions, ops/pallas_ctc.py) — same
     # numbers, benched on TPU in tools/bench_suite.py.
