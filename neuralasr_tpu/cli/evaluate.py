@@ -21,6 +21,18 @@ import os
 import sys
 
 
+def resolve_blank_collapse(cli_threshold, cli_off, preset_default):
+    """Blank-collapse threshold precedence: --no-blank-collapse beats an
+    explicit --blank-collapse, which beats the preset's
+    eval_blank_collapse (None = off).  Factored out so the preset-default
+    flip (BASELINE.md r5 ladder collapse evidence) is unit-testable."""
+    if cli_off:
+        return None
+    if cli_threshold is not None:
+        return cli_threshold
+    return preset_default
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="tiny")
@@ -114,10 +126,8 @@ def main() -> None:
         )
         lm_fn, lm_weight = lm.score_fn(), cfg.lm_weight
 
-    collapse = (
-        None if args.no_blank_collapse
-        else args.blank_collapse if args.blank_collapse is not None
-        else cfg.eval_blank_collapse
+    collapse = resolve_blank_collapse(
+        args.blank_collapse, args.no_blank_collapse, cfg.eval_blank_collapse
     )
     res = evaluate_corpus(
         trainer,

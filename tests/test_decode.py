@@ -247,3 +247,15 @@ def test_beam_prune_k_exact_vs_full():
                     np.asarray(fp)[b, w, : fln[b, w]],
                     np.asarray(pp)[b, w, : fln[b, w]],
                 )
+
+
+def test_blank_collapse_cli_resolution():
+    """Preset-default plumbing (cli/evaluate.py): --no-blank-collapse beats
+    an explicit threshold, which beats the preset's eval_blank_collapse."""
+    from neuralasr_tpu.cli.evaluate import resolve_blank_collapse
+
+    assert resolve_blank_collapse(None, False, None) is None
+    assert resolve_blank_collapse(None, False, 0.999) == 0.999
+    assert resolve_blank_collapse(0.95, False, 0.999) == 0.95
+    assert resolve_blank_collapse(0.95, True, 0.999) is None
+    assert resolve_blank_collapse(None, True, 0.999) is None
