@@ -17,6 +17,9 @@ from neuralasr_tpu.ops import runtime
 
 
 def test_override_wins_over_default_backend(monkeypatch):
+    # Any earlier test that built a Trainer left the process-wide pin set
+    # (that is its designed lifetime); this test needs the heuristic path.
+    runtime.set_compute_platform(None)
     # Simulate the axon case: default backend claims "tpu".
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert runtime.on_tpu()  # heuristic follows the (lying) default
