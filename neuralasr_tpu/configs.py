@@ -60,9 +60,12 @@ class TrainConfig:
     eval_noise_level: Optional[float] = None  # None -> train noise (0.05)
     eval_formant_shift_hz: float = 0.0
     # Default blank-collapse threshold for beam-search EVALUATION (arXiv
-    # 2210.17017 frame compression; None = off).  Flipped on only where
-    # the ladder's paired collapse evals show WER equality — the <30 ms
-    # beam decode target rides the 0.999 crop (BASELINE.md r5);
+    # 2210.17017 frame compression; None = off).  MEASURED DECISION
+    # (round-5 ladder, paired collapse evals on every config): the 0.999
+    # crop is NOT WER-neutral on this stack — conformer +3.6 pp std /
+    # +3.3 pp stress, base +2.1 pp std (conv/fusion within CI) — so no
+    # preset turns it on; the 28.4 ms beam-16 crop row is recorded as a
+    # latency/WER TRADE-OFF, not free speed (BASELINE.md r5 ladder).
     # evaluate.py --blank-collapse / --no-blank-collapse override.
     eval_blank_collapse: Optional[float] = None
     # CTC loss implementation: "scan" (XLA lax.scan recursions) or "pallas"

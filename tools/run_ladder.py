@@ -45,14 +45,18 @@ STRESS = ["--eval-noise", "1.0", "--eval-shift", "50"]
 # completion metadata (mid-epoch iterator state).  Gates are now sized
 # from the measured CI instead of intuition.
 GATES = {
-    # base: round 5 flipped config 2 to frame_stack=3 (VERDICT r4 item 7)
-    # — a different geometry, so the r4-derived 4.41 % gate does not
-    # transfer; the r5 ladder runs base record-only and derives the fs3
-    # gate from its fresh run (fs3 evidence on record: 3.53 % beam, r3).
-    "base": ("standard", None),
-    "conv": ("stress", 0.1927),  # r4: 15.71 % beam, CI [13.97, 17.53]
-    "fusion": ("stress", 0.1176),  # r4: 8.88 % beam+LM, CI [7.45, 10.33]
-    "conformer": ("stress", 0.1256),  # r4: 9.82 % beam, CI [8.47, 11.22]
+    # Round-5 CI-derived gates (runs/ladder_r5_gates.json, fresh r5
+    # training): beam WER + 2x bootstrap-CI half-width on each config's
+    # gated protocol.  base is the NEW fs3 geometry's first derived gate
+    # (record-only in the r5 run itself).  conv/fusion reproduced r4
+    # bit-for-bit (their configs and seeds are unchanged and training is
+    # deterministic), so their gates carry over numerically; conformer
+    # tightened 0.1256 -> 0.1126 on the r5 stack's better stress WER
+    # (8.60 % vs r4 9.82 %).
+    "base": ("standard", 0.0539),  # r5: 3.53 % beam, CI [2.64, 4.50]
+    "conv": ("stress", 0.1927),  # r5==r4: 15.71 % beam, CI [13.97, 17.53]
+    "fusion": ("stress", 0.1176),  # r5==r4: 8.88 % beam+LM, CI [7.45, 10.33]
+    "conformer": ("stress", 0.1126),  # r5: 8.60 % beam, CI [7.33, 9.99]
 }
 
 SWEEP_SHIFTS = [0, 25, 50, 75]

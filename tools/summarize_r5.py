@@ -12,12 +12,19 @@ import os
 
 
 def last_json(path):
+    """Last parseable JSON line: gated evals append '[evaluate] WER gate
+    passed ...' AFTER the metrics line, so scan from the end."""
     try:
         with open(path) as fh:
             lines = [l for l in fh.read().splitlines() if l.strip()]
-        return json.loads(lines[-1])
     except Exception:
         return None
+    for line in reversed(lines):
+        try:
+            return json.loads(line)
+        except Exception:
+            continue
+    return None
 
 
 def pct(x):
